@@ -1,0 +1,91 @@
+"""Pipeline configuration.
+
+One dataclass carries every tunable of the dedup pipeline so that the
+oracle (tests/oracle.py) and the distributed pipeline are guaranteed to
+run at the *same* shingle/signature/band configuration — the parity
+requirement of the recall >= 0.99 gate (BASELINE.json `north_rule`).
+
+Reference analog: the argparse/config.json plumbing of
+ea/sim/dev/scripts/training/evaluating/eval_fast.py:31-37.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+
+@dataclass(frozen=True)
+class DedupConfig:
+    # --- caption normalization ---------------------------------------
+    lowercase: bool = True
+
+    # --- character shingling (reference analog: SeqCoder.ngrams,
+    #     ea/sim/main/preprocess/seq_coder.py:68-81) ------------------
+    shingle_k: int = 5
+
+    # --- MinHash signature -------------------------------------------
+    num_perm: int = 128
+    minhash_seed: int = 0x5EED_C0DE
+
+    # --- LSH banding: num_perm = bands * rows_per_band ---------------
+    bands: int = 16
+    rows_per_band: int = 8
+
+    # Jaccard threshold used by the verify stage (the LSH S-curve
+    # threshold for (16, 8) is (1/16)^(1/8) ~= 0.707).
+    jaccard_threshold: float = 0.60
+
+    # --- SimHash (image side) ----------------------------------------
+    # 64-bit perceptual hash; probing splits it into `simhash_chunks`
+    # chunks — two hashes within Hamming distance `hamming_radius`
+    # share at least one exact chunk when hamming_radius < chunks
+    # (pigeonhole), so chunk-equality groupby is a complete candidate
+    # generator for that radius.
+    simhash_chunks: int = 4
+    hamming_radius: int = 3
+    psnr_threshold_db: float = 40.0  # per input_hint: PSNR>=40dB for lossy
+
+    # --- repeated-substring pass -------------------------------------
+    substring_min_len: int = 32  # L: min shared substring length
+    winnow_window: int = 8       # winnowing window (fingerprints kept per L-window)
+
+    # --- skew handling ------------------------------------------------
+    # A bucket (LSH band bucket / simhash chunk bucket / fingerprint
+    # bucket) with more than `bucket_cap` members is salted: members are
+    # split into ceil(n / salt_target) sub-buckets and linked through a
+    # per-bucket pivot chain instead of all-pairs (n^2 -> O(n)).
+    # Capped buckets are logged, never silently dropped.
+    bucket_cap: int = 64
+    salt_target: int = 32
+
+    # --- execution ----------------------------------------------------
+    batch_size: int = 2048
+    image_batch_size: int = 256   # binary payloads: small batches
+    num_partitions: int = 32      # shuffle partitions for joins / groupbys
+    actor_concurrency: int = 4
+
+    # --- connected components ----------------------------------------
+    # Below this many edges the components are solved driver-side with
+    # path-compressed union-find (exact, one pass); above it the
+    # distributed min-label-propagation loop is used.
+    driver_cc_max_edges: int = 2_000_000
+
+    # stages enabled for the flagship run
+    stages: tuple[str, ...] = field(
+        default=("exact", "minhash", "simhash", "substring")
+    )
+
+    def __post_init__(self) -> None:
+        if self.bands * self.rows_per_band != self.num_perm:
+            raise ValueError(
+                f"bands*rows_per_band ({self.bands}*{self.rows_per_band}) "
+                f"must equal num_perm ({self.num_perm})"
+            )
+        if self.hamming_radius >= self.simhash_chunks:
+            raise ValueError(
+                "hamming_radius must be < simhash_chunks for chunk probing "
+                "to be a complete candidate generator"
+            )
+
+
+DEFAULT_CONFIG = DedupConfig()

@@ -1,0 +1,282 @@
+"""Image codecs, perceptual hash, PSNR — pure numpy + stdlib zlib.
+
+This container has no image libraries (no PIL / libjpeg / OpenCV), so
+per the build brief the codec layer is implemented as:
+
+- ``png``: a REAL, spec-conformant PNG encoder/decoder (8-bit RGB,
+  zlib, filters 0-4 supported on decode, filter 0 on encode). Output
+  is readable by any standard PNG tool.
+- ``jpeg``: a clearly-documented DETERMINISTIC STAND-IN for a lossy
+  DCT codec ("QDCT"): 8x8 blockwise DCT + quality-scaled quantization
+  + zlib entropy coding. It is lossy in the same way JPEG is (high
+  frequencies quantized), fully deterministic, and round-trips at
+  quality 90 with PSNR >= 40 dB — satisfying the per-row invariant in
+  BASELINE.json `input_hint`. If a real libjpeg becomes available,
+  only `encode_image`/`decode_image` change; all Ray-side plumbing
+  (schemas, actor stages, batch sizes) is real and tested.
+
+All functions operate on uint8 RGB arrays of shape (h, w, 3).
+"""
+
+from __future__ import annotations
+
+import struct
+import zlib
+
+import numpy as np
+
+# ----------------------------------------------------------------- PNG
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _png_chunk(tag: bytes, payload: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(payload))
+        + tag
+        + payload
+        + struct.pack(">I", zlib.crc32(tag + payload) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(img: np.ndarray) -> bytes:
+    """Encode (h, w, 3) uint8 RGB -> PNG bytes (filter 0, zlib level 6)."""
+    h, w, c = img.shape
+    assert c == 3 and img.dtype == np.uint8
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)  # 8-bit truecolor
+    raw = np.empty((h, 1 + w * 3), dtype=np.uint8)
+    raw[:, 0] = 0  # filter type 0 per scanline
+    raw[:, 1:] = img.reshape(h, w * 3)
+    idat = zlib.compress(raw.tobytes(), 6)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", idat)
+        + _png_chunk(b"IEND", b"")
+    )
+
+
+def _paeth(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> np.ndarray:
+    p = a.astype(np.int16) + b.astype(np.int16) - c.astype(np.int16)
+    pa = np.abs(p - a)
+    pb = np.abs(p - b)
+    pc = np.abs(p - c)
+    out = np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+    return out.astype(np.uint8)
+
+
+def decode_png(data: bytes) -> np.ndarray:
+    """Decode 8-bit truecolor PNG -> (h, w, 3) uint8. Filters 0-4."""
+    assert data[:8] == _PNG_SIG, "not a PNG"
+    pos = 8
+    w = h = None
+    idat = bytearray()
+    while pos < len(data):
+        (length,) = struct.unpack_from(">I", data, pos)
+        tag = data[pos + 4 : pos + 8]
+        payload = data[pos + 8 : pos + 8 + length]
+        pos += 12 + length
+        if tag == b"IHDR":
+            w, hh, bit, ctype, _, _, interlace = struct.unpack(">IIBBBBB", payload)
+            h = hh
+            if bit != 8 or ctype != 2 or interlace != 0:
+                raise NotImplementedError("only 8-bit truecolor non-interlaced")
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+    raw = np.frombuffer(zlib.decompress(bytes(idat)), dtype=np.uint8)
+    stride = 1 + w * 3
+    raw = raw.reshape(h, stride)
+    filters = raw[:, 0]
+    out = np.zeros((h, w * 3), dtype=np.uint8)
+    bpp = 3
+    for y in range(h):  # scanline loop is inherent to PNG filtering
+        line = raw[y, 1:].copy()
+        f = filters[y]
+        prev = out[y - 1] if y > 0 else np.zeros(w * 3, dtype=np.uint8)
+        if f == 0:
+            out[y] = line
+        elif f == 2:  # Up
+            out[y] = line + prev
+        elif f in (1, 3, 4):  # Sub / Average / Paeth need left neighbor
+            cur = np.zeros(w * 3, dtype=np.uint8)
+            for x in range(w * 3):
+                a = cur[x - bpp] if x >= bpp else 0
+                b = prev[x]
+                c = prev[x - bpp] if x >= bpp else 0
+                if f == 1:
+                    cur[x] = line[x] + a
+                elif f == 3:
+                    cur[x] = line[x] + ((int(a) + int(b)) >> 1)
+                else:
+                    cur[x] = line[x] + _paeth(
+                        np.uint8(a), np.uint8(b), np.uint8(c)
+                    )
+            out[y] = cur
+        else:
+            raise ValueError(f"bad filter {f}")
+    return out.reshape(h, w, 3)
+
+
+# ------------------------------------------------- QDCT ("jpeg" stand-in)
+
+_QDCT_MAGIC = b"QDC1"
+
+# JPEG Annex K luminance quantization table (public spec constants).
+_QBASE = np.array(
+    [
+        [16, 11, 10, 16, 24, 40, 51, 61],
+        [12, 12, 14, 19, 26, 58, 60, 55],
+        [14, 13, 16, 24, 40, 57, 69, 56],
+        [14, 17, 22, 29, 51, 87, 80, 62],
+        [18, 22, 37, 56, 68, 109, 103, 77],
+        [24, 35, 55, 64, 81, 104, 113, 92],
+        [49, 64, 78, 87, 103, 121, 120, 101],
+        [72, 92, 95, 98, 112, 100, 103, 99],
+    ],
+    dtype=np.float64,
+)
+
+
+def _dct_matrix(n: int = 8) -> np.ndarray:
+    k = np.arange(n)[:, None]
+    i = np.arange(n)[None, :]
+    m = np.sqrt(2.0 / n) * np.cos((2 * i + 1) * k * np.pi / (2 * n))
+    m[0] = np.sqrt(1.0 / n)
+    return m
+
+
+_DCT8 = _dct_matrix(8)
+
+
+def _quality_table(quality: int) -> np.ndarray:
+    # libjpeg quality scaling formula (public)
+    q = max(1, min(100, quality))
+    scale = 5000 / q if q < 50 else 200 - 2 * q
+    t = np.floor((_QBASE * scale + 50) / 100)
+    return np.clip(t, 1, 255)
+
+
+def _blockify(img: np.ndarray) -> tuple[np.ndarray, int, int]:
+    """Pad (h, w, 3) to multiples of 8 (edge-replicate) and split into
+    8x8 blocks -> (nblocks, 8, 8, 3)."""
+    h, w, _ = img.shape
+    ph, pw = (-h) % 8, (-w) % 8
+    img = np.pad(img, ((0, ph), (0, pw), (0, 0)), mode="edge")
+    hh, ww, _ = img.shape
+    b = img.reshape(hh // 8, 8, ww // 8, 8, 3).transpose(0, 2, 1, 3, 4)
+    return b.reshape(-1, 8, 8, 3), hh, ww
+
+
+def encode_qdct(img: np.ndarray, quality: int = 90) -> bytes:
+    """Deterministic lossy encode: blockwise DCT + quantize + zlib."""
+    h, w, _ = img.shape
+    blocks, _, _ = _blockify(img)
+    x = blocks.astype(np.float64) - 128.0
+    # DCT per channel: D @ X @ D.T, batched via einsum
+    coef = np.einsum("ij,bjkc,kl->bilc", _DCT8, x, _DCT8.T)
+    qt = _quality_table(quality)
+    q = np.round(coef / qt[None, :, :, None]).astype(np.int16)
+    payload = zlib.compress(q.tobytes(), 6)
+    head = _QDCT_MAGIC + struct.pack(">IIB", w, h, max(1, min(100, quality)))
+    return head + payload
+
+
+def decode_qdct(data: bytes) -> np.ndarray:
+    assert data[:4] == _QDCT_MAGIC, "not a QDCT payload"
+    w, h, quality = struct.unpack(">IIB", data[4:13])
+    q = np.frombuffer(zlib.decompress(data[13:]), dtype=np.int16)
+    ph, pw = (-h) % 8, (-w) % 8
+    hh, ww = h + ph, w + pw
+    blocks = q.reshape(-1, 8, 8, 3).astype(np.float64) * _quality_table(quality)[
+        None, :, :, None
+    ]
+    x = np.einsum("ij,bjkc,kl->bilc", _DCT8.T, blocks, _DCT8)
+    img = x + 128.0
+    img = img.reshape(hh // 8, ww // 8, 8, 8, 3).transpose(0, 2, 1, 3, 4)
+    img = img.reshape(hh, ww, 3)[:h, :w]
+    return np.clip(np.round(img), 0, 255).astype(np.uint8)
+
+
+# ------------------------------------------------------------ dispatch
+
+
+def encode_image(img: np.ndarray, fmt: str, quality: int = 90) -> bytes:
+    if fmt == "png":
+        return encode_png(img)
+    if fmt == "jpeg":
+        return encode_qdct(img, quality)
+    raise NotImplementedError(f"fmt={fmt!r}: no codec in this environment")
+
+
+def decode_image(data: bytes, fmt: str) -> np.ndarray:
+    if fmt == "png":
+        return decode_png(data)
+    if fmt == "jpeg":
+        return decode_qdct(data)
+    raise NotImplementedError(f"fmt={fmt!r}: no codec in this environment")
+
+
+# ------------------------------------------------- metrics & phash
+
+
+def psnr(a: np.ndarray, b: np.ndarray) -> float:
+    """Peak signal-to-noise ratio in dB between two uint8 images."""
+    if a.shape != b.shape:
+        return 0.0
+    mse = np.mean((a.astype(np.float64) - b.astype(np.float64)) ** 2)
+    if mse == 0:
+        return float("inf")
+    return float(10.0 * np.log10(255.0 * 255.0 / mse))
+
+
+def to_gray(img: np.ndarray) -> np.ndarray:
+    return (
+        0.299 * img[:, :, 0] + 0.587 * img[:, :, 1] + 0.114 * img[:, :, 2]
+    ).astype(np.float64)
+
+
+def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Area-style downscale of a 2-D float array via bin-mean (reduceat)."""
+    h, w = img.shape
+    ys = (np.arange(out_h + 1) * h // out_h).astype(np.int64)
+    xs = (np.arange(out_w + 1) * w // out_w).astype(np.int64)
+    rows = np.add.reduceat(img, ys[:-1], axis=0)
+    cells = np.add.reduceat(rows, xs[:-1], axis=1)
+    counts = np.outer(np.diff(ys), np.diff(xs))
+    return cells / np.maximum(counts, 1)
+
+
+_DCT32 = _dct_matrix(32)
+_BIT_POWERS = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
+
+
+def _bits_to_i64(bits: np.ndarray) -> int:
+    val = (bits.astype(np.uint64) * _BIT_POWERS).sum(dtype=np.uint64)
+    return int(val.astype(np.int64))
+
+
+def phash64(img: np.ndarray) -> int:
+    """64-bit perceptual hash, gradient-sign (dHash) construction.
+
+    Area-downsample gray to 8x9, bit = cell[i, j] > cell[i, j+1].
+    Chosen over the classic DCT-sign pHash because adjacent-cell
+    gradient signs have magnitude ~ dynamic-range/8 and survive +-2
+    pixel noise and lossy re-encoding (Hamming <= 3), whereas DCT-sign
+    bits of smooth images sit near zero and flip freely. Returns
+    signed int64 (the input table stores phash as int64 per
+    BASELINE.json `input_hint`).
+    """
+    g = resize_area(to_gray(img), 8, 9)
+    bits = (g[:, :-1] > g[:, 1:]).flatten()
+    return _bits_to_i64(bits)
+
+
+def phash64_dct(img: np.ndarray) -> int:
+    """Classic 8x8 DCT-sign pHash (kept for parity experiments)."""
+    g = resize_area(to_gray(img), 32, 32)
+    coef = _DCT32 @ g @ _DCT32.T
+    low = coef[:8, :8]
+    med = np.median(low.flatten()[1:])  # skip DC
+    return _bits_to_i64(low.flatten() > med)

@@ -1,0 +1,113 @@
+import numpy as np
+import pytest
+
+from stack_trace_deduplication_ray.functions import hashing as H
+
+
+def u64(*vals):
+    return np.array(vals, dtype=np.uint64)
+
+
+def test_splitmix64_deterministic_and_avalanche():
+    x = u64(0, 1, 2, 3)
+    a = H.splitmix64(x)
+    b = H.splitmix64(x)
+    assert np.array_equal(a, b)
+    assert len(np.unique(a)) == 4
+    # avalanche: one input-bit flip changes ~half the output bits
+    d = H.hamming64(H.splitmix64(u64(12345)), H.splitmix64(u64(12344)))
+    assert 10 < d[0] < 54
+
+
+def test_hash_bytes_arrays_content_keyed():
+    h = H.hash_bytes_arrays([b"abc", b"abc", b"abd", b""])
+    assert h[0] == h[1]
+    assert h[0] != h[2]
+    assert h.dtype == np.uint64
+    # strings hash like their utf-8 content, deterministically
+    h2 = H.hash_bytes_arrays(["abc", "abc"])
+    assert h2[0] == h2[1]
+
+
+def test_shingle_hashes_identical_strings_identical_sets():
+    hs, offs = H.shingle_hashes(["abcdefgh", "abcdefgh", "zzzzzzzz"], 5)
+    r0 = hs[offs[0] : offs[1]]
+    r1 = hs[offs[1] : offs[2]]
+    r2 = hs[offs[2] : offs[3]]
+    assert np.array_equal(r0, r1)
+    assert len(r0) == 4  # 8 - 5 + 1
+    assert H.jaccard_from_hash_sets(r0, r1) == 1.0
+    assert H.jaccard_from_hash_sets(r0, r2) == 0.0
+
+
+def test_shingle_hashes_short_and_empty_rows():
+    hs, offs = H.shingle_hashes(["ab", "", "ab", "abcdef"], 5)
+    assert offs.tolist() == [0, 1, 1, 2, 4]
+    assert hs[0] == hs[1]  # short rows hash whole-row, equal content collides
+
+
+def test_shingle_window_does_not_cross_row_boundary():
+    # "XXabc" + "defYY" concatenated must not produce shingle "bcdef"
+    hs1, o1 = H.shingle_hashes(["XXabc", "defYY"], 3)
+    hs2, o2 = H.shingle_hashes(["XXabcdefYY"], 3)
+    s_rows = set(hs1.tolist())
+    s_concat = set(hs2.tolist())
+    assert not s_rows >= s_concat  # concat has cross-boundary shingles
+
+
+def test_minhash_signature_estimates_jaccard():
+    rng = np.random.default_rng(7)
+    base = [" ".join(rng.choice(list("abcdefghij"), 60)) for _ in range(1)][0]
+    variant = base[:40] + base[40:].replace("a", "b")
+    hs, offs = H.shingle_hashes([base, variant, "completely different text!"], 5)
+    a, b = H.minhash_params(256, 42)
+    sig = H.minhash_signatures(hs, offs, a, b)
+    est01 = (sig[0] == sig[1]).mean()
+    true01 = H.jaccard_from_hash_sets(hs[offs[0] : offs[1]], hs[offs[1] : offs[2]])
+    assert abs(est01 - true01) < 0.15
+    est02 = (sig[0] == sig[2]).mean()
+    assert est02 < 0.1
+
+
+def test_minhash_empty_rows_never_collide_in_bands():
+    hs, offs = H.shingle_hashes(["", ""], 5)
+    a, b = H.minhash_params(128, 0)
+    sig = H.minhash_signatures(hs, offs, a, b)
+    assert (sig == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+def test_band_keys_shape_and_identity():
+    hs, offs = H.shingle_hashes(["hello world, nice day", "hello world, nice day"], 5)
+    a, b = H.minhash_params(128, 0)
+    sig = H.minhash_signatures(hs, offs, a, b)
+    bk = H.band_keys(sig, 16, 8)
+    assert bk.shape == (2, 16)
+    assert np.array_equal(bk[0], bk[1])
+    # different bands of the same row land in different buckets
+    assert len(np.unique(bk[0])) == 16
+
+
+def test_hamming64():
+    assert H.hamming64(u64(0), u64(0))[0] == 0
+    assert H.hamming64(u64(0xFFFFFFFFFFFFFFFF), u64(0))[0] == 64
+    assert H.hamming64(u64(0b1011), u64(0b0010))[0] == 2
+
+
+def test_simhash_chunk_keys_pigeonhole():
+    rng = np.random.default_rng(3)
+    x = rng.integers(0, 1 << 63, dtype=np.uint64)
+    # flip 3 bits -> with 4 chunks at least one chunk key must match
+    y = x
+    for bit in [2, 20, 50]:
+        y = y ^ (np.uint64(1) << np.uint64(bit))
+    keys = H.simhash_chunk_keys(u64(x, y), 4)
+    assert (keys[0] == keys[1]).sum() >= 1
+    # chunk keys at different positions never equal each other
+    assert len(np.unique(keys[0])) == 4
+
+
+def test_minhash_params_deterministic():
+    a1, b1 = H.minhash_params(64, 9)
+    a2, b2 = H.minhash_params(64, 9)
+    assert np.array_equal(a1, a2) and np.array_equal(b1, b2)
+    assert (a1 % 2 == 1).all()
