@@ -61,7 +61,10 @@ class DedupConfig:
     # --- execution ----------------------------------------------------
     batch_size: int = 2048
     image_batch_size: int = 256   # binary payloads: small batches
-    num_partitions: int = 32      # shuffle partitions for joins / groupbys
+    # Shuffle partitions for joins. Sized for the test sandbox (a
+    # join spawns num_partitions aggregator actors); on a real
+    # multi-node cluster set this to ~2x total cores.
+    num_partitions: int = 8
     actor_concurrency: int = 4
 
     # --- connected components ----------------------------------------

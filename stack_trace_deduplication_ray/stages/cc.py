@@ -1,0 +1,245 @@
+"""Connected components: confirmed edges -> cluster assignment.
+
+The reference partitions stacks into mutable ``Issue`` objects and
+merges issues transitively through a hand-rolled replacement-chain
+resolution (path compression over ``duplicates[iid1]=iid2`` loops,
+/root/reference/ea/sim/dev/scripts/data/preprocess/so/steps/
+merge_issues_duplicates.py:28-67). Here the same semantics — every
+report reachable through dup edges lands in one cluster whose
+representative is the *first* member (reference keep-first:
+sorted-ids-min, ea/sim/main/data/objects/issue.py:13-22) — are
+computed as connected components with cluster_id = lexicographic min
+image_id.
+
+Two interchangeable implementations (tests assert they agree):
+
+- ``driver_union_find``: exact path-compressed union-find on the
+  driver. Edges stream in via ``iter_batches`` (never ``take_all`` of
+  row dicts); right choice while |edges| fits driver memory
+  (cfg.driver_cc_max_edges).
+- ``label_propagation``: distributed min-label propagation — per
+  round, each node takes the min label among itself and its
+  neighbors (groupby-aggregate-min + hash joins); converges in
+  O(log diameter) rounds. The at-scale path.
+
+Final assignment: every input id absent from the edge set is its own
+singleton cluster (left join + fill-own-id).
+"""
+
+from __future__ import annotations
+
+import logging
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from stack_trace_deduplication_ray.config import DedupConfig
+from stack_trace_deduplication_ray.stages.joins import join_ds
+
+logger = logging.getLogger(__name__)
+
+
+def driver_union_find(edges) -> dict[str, str]:
+    """Stream edges to the driver, return {node: min-member label}."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for batch in edges.select_columns(["src", "dst"]).iter_batches(
+        batch_size=65536, batch_format="pyarrow"
+    ):
+        for s, d in zip(
+            batch.column("src").to_pylist(), batch.column("dst").to_pylist()
+        ):
+            rs, rd = find(s), find(d)
+            if rs != rd:
+                # union by label order: smaller id becomes the root, so
+                # the representative is always the min member
+                if rs < rd:
+                    parent[rd] = rs
+                else:
+                    parent[rs] = rd
+    return {x: find(x) for x in list(parent)}
+
+
+def _labels_checksum(labels) -> int:
+    """Order-independent fingerprint of the (node, label) assignment:
+    sum of mixed 64-bit hashes. One cheap map + global sum — no
+    shuffle — used for fixpoint detection instead of a compare join."""
+    from stack_trace_deduplication_ray.functions import hashing as H
+
+    def h(batch: pa.Table) -> pa.Table:
+        a = H.hash_bytes_arrays(batch.column("node").to_pylist(), seed=11)
+        b = H.hash_bytes_arrays(batch.column("label").to_pylist(), seed=12)
+        with np.errstate(over="ignore"):
+            v = H.splitmix64(a ^ b).view(np.int64)
+        return pa.table({"h": pa.array(v)})
+
+    s = labels.map_batches(h, batch_format="pyarrow").sum("h")
+    return int(s) if s is not None else 0
+
+
+def label_propagation(edges, cfg: DedupConfig, max_rounds: int = 50):
+    """Distributed hash-to-min connected components.
+
+    Per round each node's label becomes
+        min(label(v), min_u~v label(u), label(label(v)))
+    — the third term is the pointer-doubling shortcut that makes the
+    round count O(log diameter) instead of O(diameter) (chains would
+    otherwise propagate one hop per round). Each round costs two
+    partitioned hash joins + one groupby-min; convergence is detected
+    by an order-independent label checksum (no compare join).
+
+    Returns a Dataset (image_id, cluster_id) covering nodes with >= 1
+    edge.
+    """
+    from ray.data.aggregate import Min
+
+    # bidirectional edge list built once: (node, nbr)
+    def bidir(batch: pa.Table) -> pa.Table:
+        src = batch.column("src")
+        dst = batch.column("dst")
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [src.combine_chunks(), dst.combine_chunks()]
+                ),
+                "nbr": pa.concat_arrays(
+                    [dst.combine_chunks(), src.combine_chunks()]
+                ),
+            }
+        )
+
+    e = (
+        edges.select_columns(["src", "dst"])
+        .map_batches(bidir, batch_format="pyarrow")
+        .materialize()
+    )
+
+    # initial labels: min(node, min neighbor)
+    def init_labels(batch: pa.Table) -> pa.Table:
+        node = np.asarray(batch.column("node").to_pylist(), dtype=object)
+        nbr = np.asarray(batch.column("nbr").to_pylist(), dtype=object)
+        return pa.table(
+            {"node": pa.array(node), "label": pa.array(np.minimum(node, nbr))}
+        )
+
+    labels = (
+        e.map_batches(init_labels, batch_format="pyarrow")
+        .groupby("node")
+        .aggregate(Min("label", alias_name="label"))
+        .materialize()
+    )
+    prev_sum = _labels_checksum(labels)
+
+    for rnd in range(max_rounds):
+        # neighbor messages: one join on the bidirectional edge list
+        j = join_ds(e, labels, "node", "node", cfg)
+
+        def msg(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": batch.column("nbr"), "label": batch.column("label")}
+            )
+
+        m_nbr = j.map_batches(msg, batch_format="pyarrow")
+
+        # pointer doubling: label(label(v))
+        def as_lookup(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "lkey": batch.column("node"),
+                    "label2": batch.column("label"),
+                }
+            )
+
+        lookup = labels.map_batches(as_lookup, batch_format="pyarrow")
+        jd = join_ds(labels, lookup, "label", "lkey", cfg)
+
+        def dbl(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {"node": batch.column("node"), "label": batch.column("label2")}
+            )
+
+        m_dbl = jd.map_batches(dbl, batch_format="pyarrow")
+
+        labels = (
+            labels.union(m_nbr)
+            .union(m_dbl)
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            # coalesce: without this the block count multiplies each
+            # round and per-round wall time grows superlinearly
+            .repartition(cfg.num_partitions)
+            .materialize()
+        )
+        cur = _labels_checksum(labels)
+        logger.info("label_propagation round %d checksum %d", rnd, cur)
+        if cur == prev_sum:
+            break
+        prev_sum = cur
+
+    def to_clusters(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": batch.column("node"),
+                "cluster_id": batch.column("label"),
+            }
+        )
+
+    return labels.map_batches(to_clusters, batch_format="pyarrow")
+
+
+def assign_clusters(all_ids_ds, edges, cfg: DedupConfig):
+    """ids Dataset (col image_id) + edges -> clusters Dataset
+    (image_id, cluster_id); singletons label themselves."""
+    n_edges = edges.count()
+    if n_edges <= cfg.driver_cc_max_edges:
+        labels = driver_union_find(edges)
+        ref = ray.put(labels)
+
+        def apply(batch: pa.Table) -> pa.Table:
+            lab = ray.get(ref)
+            ids = batch.column("image_id").to_pylist()
+            out = [lab.get(i, i) for i in ids]
+            return pa.table(
+                {
+                    "image_id": batch.column("image_id"),
+                    "cluster_id": pa.array(out, type=pa.string()),
+                }
+            )
+
+        return all_ids_ds.select_columns(["image_id"]).map_batches(
+            apply, batch_format="pyarrow"
+        )
+
+    # scale path: distributed propagation + left join for singletons
+    comp = label_propagation(edges, cfg)
+
+    def rn(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"iid_r": batch.column("image_id"), "label": batch.column("cluster_id")}
+        )
+
+    joined = join_ds(
+        all_ids_ds.select_columns(["image_id"]),
+        comp.map_batches(rn, batch_format="pyarrow"),
+        "image_id", "iid_r", cfg, join_type="left_outer",
+    )
+
+    def fill(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        cl = batch.column("label").to_pylist()
+        out = [c if c is not None else i for i, c in zip(ids, cl)]
+        return pa.table(
+            {"image_id": pa.array(ids), "cluster_id": pa.array(out)}
+        )
+
+    return joined.map_batches(fill, batch_format="pyarrow")

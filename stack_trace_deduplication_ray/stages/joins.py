@@ -1,0 +1,126 @@
+"""Partitioned hash join built from groupby + per-partition pandas merge.
+
+Ray 2.49's native ``Dataset.join`` crashes when any hash partition
+receives zero rows from one side (the aggregator builds a schema-less
+empty table and Arrow's join then fails with "No match ... for key
+field reference"), which any small-or-skewed input triggers. This
+module implements the same partitioned hash-join shape explicitly:
+
+    1. tag every row of both sides with ``__p = hash(key) % P``
+       (one cheap map each, common unified schema),
+    2. ``union`` + ``groupby(__p)`` — ONE sort shuffle moving each row
+       once, exactly like a hash-join exchange,
+    3. per-partition vectorized ``pandas.merge`` inside ``map_groups``
+       (P tasks, each merging ~N/P rows in C).
+
+Semantics: inner / left-outer equi-join; the right side's columns get
+no prefixing — callers pre-rename collisions (asserted). This join
+backs the verify feature-attachment and the connected-components label
+joins; ``num_partitions`` bounds per-task memory and is the knob to
+raise on a real cluster.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from stack_trace_deduplication_ray.config import DedupConfig
+from stack_trace_deduplication_ray.functions import hashing as H
+
+_SIDE_L = np.int8(0)
+_SIDE_R = np.int8(1)
+
+
+def _key_partition(keys, P: int) -> np.ndarray:
+    arr = np.asarray(keys, dtype=object)
+    if len(arr) == 0:
+        return np.zeros(0, dtype=np.int32)
+    h = H.hash_bytes_arrays(arr, seed=0xBEEF)
+    return (h % np.uint64(P)).astype(np.int32)
+
+
+def join_ds(
+    left,
+    right,
+    on: str,
+    right_on: str,
+    cfg: DedupConfig,
+    join_type: str = "inner",
+    right_suffix: str = "",  # unused; kept for call-site symmetry
+):
+    """Equi-join `left` with `right` (right side keyed by `right_on`).
+
+    Output: left columns + right columns (minus `right_on`).
+    `join_type`: "inner" or "left_outer".
+    """
+    assert join_type in ("inner", "left_outer"), join_type
+    P = cfg.num_partitions
+    lsch = left.schema()
+    rsch = right.schema()
+    lcols = list(lsch.names)
+    rcols = [n for n in rsch.names if n != right_on]
+    overlap = set(lcols) & set(rcols)
+    assert not overlap, f"join column collision: {overlap} (pre-rename the right side)"
+    l_types = dict(zip(lsch.names, lsch.types))
+    r_types = dict(zip(rsch.names, rsch.types))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        keys = batch.column(on).to_pylist()
+        cols = {
+            "__p": pa.array(_key_partition(keys, P)),
+            "__side": pa.array(np.full(n, _SIDE_L)),
+            "__key": batch.column(on).cast(pa.string()),
+        }
+        for c in lcols:
+            cols[c] = batch.column(c)
+        for c in rcols:
+            cols[c] = pa.nulls(n, r_types[c])
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        keys = batch.column(right_on).to_pylist()
+        cols = {
+            "__p": pa.array(_key_partition(keys, P)),
+            "__side": pa.array(np.full(n, _SIDE_R)),
+            "__key": batch.column(right_on).cast(pa.string()),
+        }
+        for c in lcols:
+            cols[c] = pa.nulls(n, l_types[c])
+        for c in rcols:
+            cols[c] = batch.column(c)
+        return pa.table(cols)
+
+    unified = left.map_batches(tag_left, batch_format="pyarrow").union(
+        right.map_batches(tag_right, batch_format="pyarrow")
+    )
+
+    out_schema = pa.schema(
+        [(c, l_types[c]) for c in lcols] + [(c, r_types[c]) for c in rcols]
+    )
+
+    def merge(group: pa.Table) -> pa.Table:
+        side = group.column("__side").to_numpy(zero_copy_only=False)
+        lmask = side == _SIDE_L
+        if not lmask.any():
+            return out_schema.empty_table()
+        ldf = group.filter(pa.array(lmask)).select(["__key", *lcols]).to_pandas()
+        rmask = ~lmask
+        if not rmask.any():
+            if join_type == "inner":
+                return out_schema.empty_table()
+            for c in rcols:
+                ldf[c] = None
+            return pa.Table.from_pandas(
+                ldf[lcols + rcols], schema=out_schema, preserve_index=False
+            )
+        rdf = group.filter(pa.array(rmask)).select(["__key", *rcols]).to_pandas()
+        how = "inner" if join_type == "inner" else "left"
+        m = ldf.merge(rdf, on="__key", how=how)
+        return pa.Table.from_pandas(
+            m[lcols + rcols], schema=out_schema, preserve_index=False
+        )
+
+    return unified.groupby("__p").map_groups(merge, batch_format="pyarrow")

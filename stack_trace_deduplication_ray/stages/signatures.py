@@ -1,0 +1,153 @@
+"""Signature stage: images -> per-row sketch columns.
+
+One actor-pool ``map_batches`` pass computes every per-row signature;
+the wide ``bytes`` column is dropped from the output so nothing heavy
+ever enters a shuffle (SURVEY.md §7.4 "wide binary rows").
+
+Reference analogs: exact-dup key ``Stack.__hash__``
+(/root/reference/ea/sim/main/data/objects/stack.py:54-57), n-gram
+multisets ``SeqCoder.ngrams`` (ea/sim/main/preprocess/seq_coder.py:68-81),
+stateful fit-once tokenizers (ea/sim/main/preprocess/tokenizers/bpe.py:43-151)
+— recast as a stateless-per-row / stateful-per-actor columnar transform.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from stack_trace_deduplication_ray.config import DedupConfig
+from stack_trace_deduplication_ray.functions import hashing as H
+
+U64 = np.uint64
+
+
+def normalize_captions(captions: list[str], lowercase: bool = True) -> list[str]:
+    """NFC + optional lowercase + whitespace collapse.
+
+    Reference analog: MethodNameUnifier regex normalization
+    (ea/sim/main/data/parsers/base.py:21-32) and Entry2SeqHelper
+    lowercasing (ea/sim/main/preprocess/entry_coders.py:39-59).
+    """
+    import unicodedata
+
+    out = []
+    for c in captions:
+        c = unicodedata.normalize("NFC", c)
+        if lowercase:
+            c = c.lower()
+        out.append(" ".join(c.split()))
+    return out
+
+
+class SignatureStage:
+    """Actor-pool batch transform: images table -> signatures table.
+
+    MinHash permutation parameters are built ONCE per actor in
+    ``__init__`` from the config seed (actor-pool pattern; reference
+    analog: fit-once encoder state, SURVEY.md §2.3 T5).
+    """
+
+    def __init__(self, cfg: DedupConfig):
+        self.cfg = cfg
+        self.a, self.b = H.minhash_params(cfg.num_perm, cfg.minhash_seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        cfg = self.cfg
+        captions = batch.column("caption").to_pylist()
+        norm = normalize_captions(captions, cfg.lowercase)
+
+        caption_hash = H.hash_bytes_arrays(norm, seed=1)
+        image_hash = H.hash_bytes_arrays(batch.column("bytes").to_pylist(), seed=2)
+        # exact-dup key: caption AND payload byte-identical
+        with np.errstate(over="ignore"):
+            exact_hash = H.splitmix64(
+                caption_hash ^ ((image_hash << U64(1)) | (image_hash >> U64(63)))
+            )
+
+        sh, offs = H.shingle_hashes(norm, cfg.shingle_k)
+        sig = H.minhash_signatures(sh, offs, self.a, self.b)
+        n_shingles = np.diff(offs).astype(np.int32)
+
+        simhash = batch.column("phash").to_numpy(zero_copy_only=False).astype(
+            np.int64
+        )
+
+        n, num_perm = sig.shape
+        # all hash columns are stored as int64 (bit-cast): Ray's
+        # groupby/shuffle round-trips keys through Python ints, and
+        # uint64 values above 2^63 overflow the Arrow int64 rebuild.
+        sig_list = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)),
+            pa.array(sig.reshape(-1).view(np.int64)),
+        )
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "caption_norm": pa.array(norm, type=pa.string()),
+                "caption_hash": pa.array(caption_hash.view(np.int64)),
+                "image_hash": pa.array(image_hash.view(np.int64)),
+                "exact_hash": pa.array(exact_hash.view(np.int64)),
+                "simhash": pa.array(simhash),
+                "minhash_sig": sig_list,
+                "n_shingles": pa.array(n_shingles),
+            }
+        )
+
+
+def signature_stage(images_ds, cfg: DedupConfig, has_image: bool = True):
+    """images Dataset -> signatures Dataset (bytes projected away)."""
+    return images_ds.map_batches(
+        SignatureStage,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.image_batch_size if has_image else cfg.batch_size,
+        # autoscaling pool starting at 1 actor: a fixed pool of
+        # actor_concurrency x 1 CPU would reserve every slot of a small
+        # session and starve the read stage (deadlock)
+        concurrency=(1, cfg.actor_concurrency),
+        num_cpus=1,
+    )
+
+
+class TextSignatureStage(SignatureStage):
+    """Signature stage for caption-only corpora (no image payload).
+
+    Used by the text pipelines over the `documents` table; image-side
+    hashes are zero and simhash is absent.
+    """
+
+    def __call__(self, batch: pa.Table) -> pa.Table:  # type: ignore[override]
+        cfg = self.cfg
+        captions = batch.column("caption").to_pylist()
+        norm = normalize_captions(captions, cfg.lowercase)
+        caption_hash = H.hash_bytes_arrays(norm, seed=1)
+        sh, offs = H.shingle_hashes(norm, cfg.shingle_k)
+        sig = H.minhash_signatures(sh, offs, self.a, self.b)
+        n, num_perm = sig.shape
+        sig_list = pa.ListArray.from_arrays(
+            pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)),
+            pa.array(sig.reshape(-1).view(np.int64)),
+        )
+        ch64 = caption_hash.view(np.int64)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "caption_norm": pa.array(norm, type=pa.string()),
+                "caption_hash": pa.array(ch64),
+                "exact_hash": pa.array(ch64),  # text-only exact key
+                "minhash_sig": sig_list,
+                "n_shingles": pa.array(np.diff(offs).astype(np.int32)),
+            }
+        )
+
+
+def text_signature_stage(docs_ds, cfg: DedupConfig):
+    return docs_ds.map_batches(
+        TextSignatureStage,
+        fn_constructor_args=(cfg,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, cfg.actor_concurrency),
+        num_cpus=1,
+    )

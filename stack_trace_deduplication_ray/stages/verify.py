@@ -1,0 +1,186 @@
+"""Verify stage: candidate edges -> confirmed edges with scores.
+
+Candidates from LSH banding / chunk probing are *probabilistic*; this
+stage recomputes the exact similarity for every candidate pair and
+keeps only true near-dups (precision guard against distractors).
+
+Reference analog: the scoring stage of the retrieve-then-rerank
+two-stage design (retrieval top-50 then pairwise scoring,
+/root/reference/ea/sim/main/methods/ranking_model.py:45-88 and
+cross-encoder re-scoring, scoring_stage.py) — our retrieval is the
+bucket groupby, our scorers are exact Jaccard (Lerch-style set
+intersection, ea/sim/main/methods/neural/cross_encoders/lerch.py:36-52),
+Hamming + PSNR (image side), and shared-L-gram (substring side).
+
+Feature attachment is a hash-partitioned ``Dataset.join`` on each
+endpoint (src then dst). Only the columns each verifier needs are
+joined: heavy ``bytes`` only for simhash pairs that already passed the
+cheap Hamming test.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from stack_trace_deduplication_ray.config import DedupConfig
+from stack_trace_deduplication_ray.functions import codecs as C
+from stack_trace_deduplication_ray.functions import hashing as H
+from stack_trace_deduplication_ray.stages.joins import join_ds
+
+U64 = np.uint64
+
+
+def attach_pair_features(edges, feats, cfg: DedupConfig, suffixes=("_src", "_dst")):
+    """edges(src, dst, ...) x feats(image_id, f...) -> one row per edge
+    with f_src / f_dst columns (two partitioned hash joins; feature
+    columns are pre-renamed per side so names never collide)."""
+    feat_cols = [c for c in feats.schema().names if c != "image_id"]
+
+    def renamer(suffix):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = {"__fid" + suffix: batch.column("image_id")}
+            for c in feat_cols:
+                cols[c + suffix] = batch.column(c)
+            return pa.table(cols)
+
+        return fn
+
+    f_src = feats.map_batches(renamer(suffixes[0]), batch_format="pyarrow")
+    j1 = join_ds(edges, f_src, "src", "__fid" + suffixes[0], cfg)
+    f_dst = feats.map_batches(renamer(suffixes[1]), batch_format="pyarrow")
+    return join_ds(j1, f_dst, "dst", "__fid" + suffixes[1], cfg)
+
+
+def _jaccard_batch(cap_a: list[str], cap_b: list[str], k: int) -> np.ndarray:
+    """Exact Jaccard over char-k-shingle sets, per pair."""
+    n = len(cap_a)
+    ha, oa = H.shingle_hashes(cap_a, k)
+    hb, ob = H.shingle_hashes(cap_b, k)
+    out = np.zeros(n, dtype=np.float64)
+    for i in range(n):  # candidate pairs only — small relative to corpus
+        out[i] = H.jaccard_from_hash_sets(
+            ha[oa[i] : oa[i + 1]], hb[ob[i] : ob[i + 1]]
+        )
+    return out
+
+
+def verify_minhash(edges, sigs, cfg: DedupConfig):
+    """Keep pairs with exact shingle Jaccard >= cfg.jaccard_threshold."""
+    feats = sigs.select_columns(["image_id", "caption_norm"])
+    paired = attach_pair_features(edges, feats, cfg)
+
+    def score(batch: pa.Table) -> pa.Table:
+        jac = _jaccard_batch(
+            batch.column("caption_norm_src").to_pylist(),
+            batch.column("caption_norm_dst").to_pylist(),
+            cfg.shingle_k,
+        )
+        keep = jac >= cfg.jaccard_threshold
+        out = batch.select(["src", "dst", "stage"]).filter(pa.array(keep))
+        return out.append_column("score", pa.array(jac[keep], type=pa.float64()))
+
+    return paired.map_batches(score, batch_format="pyarrow")
+
+
+def verify_substring(edges, sigs, cfg: DedupConfig):
+    """Keep pairs sharing an exact >=L-char substring (rolling-hash
+    L-gram set intersection; 64-bit collisions are negligible and the
+    downstream clustering treats edges as candidates for CC only)."""
+    feats = sigs.select_columns(["image_id", "caption_norm"])
+    paired = attach_pair_features(edges, feats, cfg)
+    L = cfg.substring_min_len
+
+    def score(batch: pa.Table) -> pa.Table:
+        a = batch.column("caption_norm_src").to_pylist()
+        b = batch.column("caption_norm_dst").to_pylist()
+        n = len(a)
+        keep = np.zeros(n, dtype=bool)
+        score_v = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            fa, _ = H.concat_utf8([a[i]])
+            fb, _ = H.concat_utf8([b[i]])
+            wa = H.window_hashes(fa, L)
+            wb = H.window_hashes(fb, L)
+            if len(wa) and len(wb):
+                inter = np.intersect1d(wa, wb).size
+                if inter > 0:
+                    keep[i] = True
+                    # score = length of longest shared run, approximated
+                    # by (#shared L-grams + L - 1) normalized by shorter len
+                    score_v[i] = min(1.0, (inter + L - 1) / max(1, min(len(a[i]), len(b[i]))))
+        out = batch.select(["src", "dst", "stage"]).filter(pa.array(keep))
+        return out.append_column("score", pa.array(score_v[keep], type=pa.float64()))
+
+    return paired.map_batches(score, batch_format="pyarrow")
+
+
+def verify_simhash(edges, sigs, images, cfg: DedupConfig):
+    """Two-step image verify: cheap Hamming(simhash) <= radius filter,
+    then decode + PSNR >= threshold on the survivors only."""
+    feats = sigs.select_columns(["image_id", "simhash"])
+    paired = attach_pair_features(edges, feats, cfg)
+    r = cfg.hamming_radius
+
+    def hamming_filter(batch: pa.Table) -> pa.Table:
+        d = H.hamming64(
+            batch.column("simhash_src").to_numpy(zero_copy_only=False).view(U64),
+            batch.column("simhash_dst").to_numpy(zero_copy_only=False).view(U64),
+        )
+        keep = d <= r
+        out = batch.select(["src", "dst", "stage"]).filter(pa.array(keep))
+        return out.append_column(
+            "hamming", pa.array(d[keep], type=pa.int64())
+        )
+
+    # materialize: prunes candidates before the heavy `bytes` join and
+    # caps the number of concurrent join aggregator pools at two
+    near = paired.map_batches(hamming_filter, batch_format="pyarrow").materialize()
+
+    payload = images.select_columns(["image_id", "bytes", "fmt"])
+    with_payload = attach_pair_features(near, payload, cfg)
+
+    def psnr_check(batch: pa.Table) -> pa.Table:
+        ba = batch.column("bytes_src").to_pylist()
+        bb = batch.column("bytes_dst").to_pylist()
+        fa = batch.column("fmt_src").to_pylist()
+        fb = batch.column("fmt_dst").to_pylist()
+        ham = batch.column("hamming").to_numpy(zero_copy_only=False)
+        n = len(ba)
+        keep = np.zeros(n, dtype=bool)
+        score_v = np.zeros(n, dtype=np.float64)
+        for i in range(n):
+            try:
+                pa_img = C.decode_image(ba[i], fa[i])
+                pb_img = C.decode_image(bb[i], fb[i])
+            except Exception:
+                continue  # undecodable payload: reject pair, never crash
+            if pa_img.shape != pb_img.shape:
+                continue
+            p = C.psnr(pa_img, pb_img)
+            if p >= cfg.psnr_threshold_db:
+                keep[i] = True
+                # score in (0, 1]: exact match (inf dB) -> 1
+                score_v[i] = 1.0 if p == float("inf") else min(1.0, p / 100.0)
+        out = batch.select(["src", "dst", "stage"]).filter(pa.array(keep))
+        return out.append_column("score", pa.array(score_v[keep], type=pa.float64()))
+
+    return with_payload.map_batches(
+        psnr_check,
+        batch_format="pyarrow",
+        batch_size=cfg.image_batch_size,
+    )
+
+
+def finalize_exact(edges):
+    """Exact edges need no verification: the bucket key is a content
+    hash of (caption, bytes); score = 1.0."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("score"),
+            "score",
+            pa.array(np.ones(len(batch)), type=pa.float64()),
+        )
+
+    return edges.map_batches(fn, batch_format="pyarrow")

@@ -1,0 +1,95 @@
+"""Candidate generation: salting correctness (salted == unsalted
+clustering), bucket caps, edge dedup."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from stack_trace_deduplication_ray.config import DedupConfig
+from stack_trace_deduplication_ray.stages import candidates as cand
+from stack_trace_deduplication_ray.stages import cc as cc_mod
+
+
+def _expanded_ds(pairs):
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "bucket": pa.array([b for b, _ in pairs], type=pa.int64()),
+                "image_id": pa.array([i for _, i in pairs], type=pa.string()),
+            }
+        )
+    )
+
+
+def _components(edges_ds):
+    labels = cc_mod.driver_union_find(edges_ds)
+    return labels
+
+
+def test_small_buckets_all_pairs(ray_session):
+    rows = [(1, "a"), (1, "b"), (1, "c"), (2, "x"), (3, "y")]
+    cfg = DedupConfig()
+    edges, stats = cand.pairs_from_buckets(_expanded_ds(rows), "t", cfg)
+    df = edges.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True)
+    assert [tuple(r) for r in df[["src", "dst"]].values] == [
+        ("a", "b"), ("a", "c"), ("b", "c")
+    ]
+    assert stats["hot_buckets"] == 0
+
+
+def test_hot_bucket_salted_same_component(ray_session):
+    """A bucket far above the cap must be salted, yet all members must
+    land in one connected component (bridge edges)."""
+    n = 500
+    cfg = DedupConfig(bucket_cap=64, salt_target=32)
+    rows = [(7, f"m{i:04d}") for i in range(n)]
+    edges, stats = cand.pairs_from_buckets(_expanded_ds(rows), "t", cfg)
+    assert stats["hot_buckets"] == 1
+    assert stats["max_bucket"] == n
+    labels = _components(edges)
+    ids = [f"m{i:04d}" for i in range(n)]
+    roots = {labels.get(i, i) for i in ids}
+    assert len(roots) == 1
+    # salted: pair count must be FAR below n^2/2
+    assert edges.count() < n * 40
+
+
+def test_salted_equals_unsalted_components(ray_session):
+    """Same clustering with a cap that triggers salting vs one that
+    doesn't (the salting-correctness requirement, SURVEY.md §7.4)."""
+    rng = np.random.default_rng(5)
+    rows = []
+    for b in range(8):
+        size = int(rng.integers(2, 120))
+        rows += [(b, f"b{b}_{i:03d}") for i in range(size)]
+    salted_cfg = DedupConfig(bucket_cap=16, salt_target=8)
+    plain_cfg = DedupConfig(bucket_cap=100_000, salt_target=8)
+    e1, _ = cand.pairs_from_buckets(_expanded_ds(rows), "t", salted_cfg)
+    e2, _ = cand.pairs_from_buckets(_expanded_ds(rows), "t", plain_cfg)
+    l1 = _components(e1)
+    l2 = _components(e2)
+    all_ids = [i for _, i in rows]
+    c1 = {}
+    c2 = {}
+    for i in all_ids:
+        c1.setdefault(l1.get(i, i), set()).add(i)
+        c2.setdefault(l2.get(i, i), set()).add(i)
+    assert sorted(map(sorted, c1.values())) == sorted(map(sorted, c2.values()))
+
+
+def test_dedup_edges_keeps_one_per_pair(ray_session):
+    import ray.data as rd
+
+    t = pa.table(
+        {
+            "src": ["a", "a", "b"],
+            "dst": ["b", "b", "c"],
+            "stage": ["minhash", "exact", "exact"],
+            "score": [0.9, 1.0, 1.0],
+        }
+    )
+    out = cand.dedup_edges(rd.from_arrow(t)).to_pandas()
+    assert len(out) == 2
+    assert set(zip(out.src, out.dst)) == {("a", "b"), ("b", "c")}
