@@ -1,16 +1,18 @@
 """Driver contract for the graft builder (Ray Data target).
 
-The driver's verify calls ``entry()`` as a smoke check (Ray is already
-initialised, local mode), runs each ``queries()[name](sf_dir)`` at
-sf=0.01 and compares it against the matching ``oracle_sql()[name]`` via
-DuckDB (row-count + schema + order-insensitive value-hash →
-CORRECTNESS_r{N}.json). Fill these in as you implement operators from
-SURVEY.md §2. Results may be a ``ray.data.Dataset``, a
-``pandas.DataFrame`` or a ``pyarrow.Table``; the driver converts.
+Ray is initialised by the driver BEFORE this module is imported: no
+``ray.init()`` / ``ray.shutdown()`` here or in the library code these
+callables use.
 
-Ray is initialised by the driver BEFORE this module is imported: do not
-call ``ray.init()`` / ``ray.shutdown()`` here, in the library code these
-functions use, or inside the callables.
+- ``entry()``: flagship near-dup clustering over the sf0.001
+  `documents` table (the caption-side dedup engine end-to-end).
+- ``queries()``: one entry per implemented operator/pipeline from
+  SURVEY.md §2 plus the training-data-scale additions (dedup,
+  similarity search, text analysis).
+- ``oracle_sql()``: DuckDB-equivalent SQL for every SQL-expressible
+  query, with IDENTICAL output column names. Non-SQL pipelines (LSH
+  clustering, winnowing, approximate ANN, heuristic language ID) are
+  intentionally absent -> driver records a rows-only check.
 """
 
 from __future__ import annotations
@@ -20,25 +22,168 @@ from typing import Any
 
 
 def entry() -> Any:
-    """Flagship pipeline on /root/testdata/sf0.001; driver checks rows>=0."""
-    raise NotImplementedError("fill in: read_parquet sf0.001 → run flagship pipeline")
+    """Flagship pipeline on /root/testdata/sf0.001: full near-dup
+    clustering of `documents` (exact + MinHash-LSH + substring +
+    union-find CC). Returns the (doc_id, cluster_id) Dataset."""
+    from stack_trace_deduplication_ray.pipelines.text import minhash_dedup_clusters
+
+    return minhash_dedup_clusters("/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    """One entry per implemented operator/pipeline from SURVEY.md §2.
+    from stack_trace_deduplication_ray.pipelines import (
+        analysis,
+        relational,
+        similarity,
+        text,
+    )
 
-    Each callable takes ``sf_dir`` (e.g. "/root/testdata/sf0.01") and
-    returns a Dataset / pandas DataFrame / pyarrow Table. Name every
-    computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # --- dedup over documents (SURVEY §2.6, north_rule core) -----
+        "exact_dedup_keep_first": text.exact_dedup_keep_first,
+        "corpus_stats": text.corpus_stats,
+        "minhash_dedup_clusters": text.minhash_dedup_clusters,
+        "jaccard_pairs_by_source": text.jaccard_pairs_by_source,
+        "substring_candidate_pairs": text.substring_candidate_pairs,
+        # --- text analysis (training-data ops) ------------------------
+        "token_counts": analysis.token_counts,
+        "token_document_frequency": analysis.token_document_frequency,
+        "quality_scores": analysis.quality_scores,
+        "language_id": analysis.language_id,
+        "fingerprints": analysis.fingerprints,
+        # --- relational / aggregation / top-k (SURVEY §2.5, §2.7) ----
+        "events_top_value_per_type": relational.events_top_value_per_type,
+        "events_daily_user_agg": relational.events_daily_user_agg,
+        "users_first_event": relational.users_first_event,
+        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "segment_order_stats": relational.segment_order_stats,
+        "top_orders_by_revenue": relational.top_orders_by_revenue,
+        # --- similarity search over embeddings ------------------------
+        "knn_brute_force": similarity.knn_brute_force,
+        "same_label_near_pairs": similarity.same_label_near_pairs,
+        "lsh_near_pairs": similarity.lsh_near_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "exact_dedup_keep_first": """
+            SELECT min(doc_id) AS keep_id, count(*) AS n
+            FROM documents GROUP BY text
+        """,
+        "corpus_stats": """
+            SELECT count(*) AS n_rows, count(DISTINCT text) AS n_unique
+            FROM documents
+        """,
+        "jaccard_pairs_by_source": """
+            WITH tok AS (
+                SELECT DISTINCT doc_id, source,
+                       unnest(string_split(text, ' ')) AS t
+                FROM documents
+            ),
+            sizes AS (
+                SELECT doc_id, count(*) AS sz FROM tok GROUP BY doc_id
+            ),
+            inter AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst, count(*) AS i
+                FROM tok a JOIN tok b
+                  ON a.source = b.source AND a.t = b.t AND a.doc_id < b.doc_id
+                GROUP BY a.doc_id, b.doc_id
+            )
+            SELECT i.src, i.dst,
+                   round(i.i * 1.0 / (sa.sz + sb.sz - i.i), 6) AS jac
+            FROM inter i
+            JOIN sizes sa ON sa.doc_id = i.src
+            JOIN sizes sb ON sb.doc_id = i.dst
+            WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.5
+        """,
+        "token_counts": """
+            SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        """,
+        "token_document_frequency": """
+            SELECT t AS token, count(*) AS df
+            FROM (SELECT DISTINCT doc_id,
+                         unnest(string_split(text, ' ')) AS t
+                  FROM documents)
+            GROUP BY t
+        """,
+        "quality_scores": """
+            SELECT doc_id,
+                   length(text) AS n_chars_actual,
+                   len(string_split(text, ' ')) AS n_words,
+                   length(text)
+                     - length(replace(replace(text, '.', ''), ',', ''))
+                     AS n_punct
+            FROM documents
+        """,
+        "fingerprints": """
+            SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "events_top_value_per_type": """
+            SELECT event_type, event_id, value FROM (
+                SELECT event_type, event_id, value,
+                       row_number() OVER (
+                           PARTITION BY event_type
+                           ORDER BY value DESC, event_id ASC
+                       ) AS rn
+                FROM events
+            ) WHERE rn <= 10
+        """,
+        "events_daily_user_agg": """
+            SELECT user_id, strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+                   count(*) AS n, round(sum(value), 4) AS total
+            FROM events GROUP BY user_id, day
+        """,
+        "users_first_event": """
+            SELECT user_id, arg_min(event_id, ts) AS first_event_id
+            FROM events GROUP BY user_id
+        """,
+        "lineitem_pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 4) AS sum_qty,
+                   round(sum(l_extendedprice), 4) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 4)
+                       AS sum_disc_price,
+                   round(avg(l_quantity), 4) AS avg_qty,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate <= DATE '1998-09-02'
+            GROUP BY l_returnflag, l_linestatus
+        """,
+        "segment_order_stats": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   round(max(o.o_totalprice), 4) AS max_price,
+                   round(avg(o.o_totalprice), 4) AS avg_price
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "top_orders_by_revenue": """
+            SELECT o.o_orderkey,
+                   round(sum(l.l_extendedprice * (1 - l.l_discount)), 4)
+                       AS revenue,
+                   o.o_orderdate
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderkey, o.o_orderdate
+            ORDER BY revenue DESC, o.o_orderkey ASC
+            LIMIT 10
+        """,
+        "knn_brute_force": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_cosine_similarity(e.embedding, q.qe), 4) AS cos
+            FROM embeddings e, q
+            WHERE e.vec_id != 0
+            ORDER BY cos DESC, e.vec_id ASC
+            LIMIT 10
+        """,
+        "same_label_near_pairs": """
+            SELECT a.vec_id AS src, b.vec_id AS dst,
+                   round(list_cosine_similarity(a.embedding, b.embedding), 4)
+                       AS cos
+            FROM embeddings a JOIN embeddings b
+              ON a.label = b.label AND a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+        """,
+    }

@@ -1,0 +1,205 @@
+#!/usr/bin/env python
+"""Bench harness: headline pipelines over $GRAFT_SF_DIR.
+
+Default mode prints ONE JSON line:
+    {"metric": ..., "value": <total sec>, "unit": "sec",
+     "queries": {...per-query sec...}, "sf": ..., "num_cpus": N,
+     "throughput": {...rows/sec...}}
+
+--scaling runs the flagship dedup pipeline twice in FRESH processes
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency = (T_lo/T_hi) / (32/8); with
+--record it also updates the "Measured results" section of
+BASELINE.md. This is the sandbox substitute for the N vs 4N node
+criterion (SURVEY.md §4.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+SF_DIR = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+NUM_CPUS = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+IMAGE_BENCH_ROWS = int(os.environ.get("GRAFT_IMAGE_ROWS", "8000"))
+
+
+def _init_ray(num_cpus: int):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(
+            address="local",
+            num_cpus=num_cpus,
+            include_dashboard=False,
+            ignore_reinit_error=True,
+            logging_level="ERROR",
+        )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+
+def _consume(res) -> int:
+    """Consume a query result, returning its row count."""
+    if hasattr(res, "count") and not hasattr(res, "num_rows"):  # Dataset
+        return res.count()
+    if hasattr(res, "num_rows"):  # pyarrow.Table
+        return res.num_rows
+    return len(res)
+
+
+def headline_queries():
+    from stack_trace_deduplication_ray.pipelines import (
+        analysis,
+        relational,
+        similarity,
+        text,
+    )
+
+    return {
+        "dedup_documents_e2e": text.minhash_dedup_clusters,
+        "exact_dedup_keep_first": text.exact_dedup_keep_first,
+        "token_document_frequency": analysis.token_document_frequency,
+        "quality_scores": analysis.quality_scores,
+        "lineitem_pricing_summary": relational.lineitem_pricing_summary,
+        "top_orders_by_revenue": relational.top_orders_by_revenue,
+        "events_daily_user_agg": relational.events_daily_user_agg,
+        "knn_brute_force": similarity.knn_brute_force,
+        "lsh_near_pairs": similarity.lsh_near_pairs,
+    }
+
+
+def bench_image_dedup(n_rows: int) -> tuple[float, int]:
+    """Flagship image+caption dedup over the synthetic fixture
+    (generated once, cached under /tmp)."""
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.fixtures.images import materialize_fixture
+    from stack_trace_deduplication_ray.pipelines.dedup import run_dedup
+
+    d = materialize_fixture(n_rows, seed=42)
+    images = rd.read_parquet(f"{d}/images.parquet")
+    t0 = time.time()
+    res = run_dedup(images, DedupConfig())
+    n = res["clusters"].count()
+    return time.time() - t0, n
+
+
+def run_bench() -> dict:
+    _init_ray(NUM_CPUS)
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+
+    t0 = time.time()
+    t_img, n_img = bench_image_dedup(IMAGE_BENCH_ROWS)
+    times["dedup_images_e2e"] = round(t_img, 3)
+    rows["dedup_images_e2e"] = n_img
+
+    for name, fn in headline_queries().items():
+        t1 = time.time()
+        n = _consume(fn(SF_DIR))
+        times[name] = round(time.time() - t1, 3)
+        rows[name] = n
+    total = round(time.time() - t0, 3)
+
+    throughput = {
+        "images_per_sec": round(IMAGE_BENCH_ROWS / t_img, 1),
+    }
+    return {
+        "metric": "headline_pipelines_total",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "rows": rows,
+        "throughput": throughput,
+        "sf": SF_DIR,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+def run_scaling(record: bool) -> dict:
+    """Same flagship job at 8 and 32 CPUs in fresh processes."""
+    results = {}
+    for cpus in (8, 32):
+        env = dict(os.environ)
+        env["RAY_GRAFT_CPUS"] = str(cpus)
+        env["GRAFT_SF_DIR"] = SF_DIR
+        out = subprocess.run(
+            [sys.executable, __file__, "--flagship-only"],
+            capture_output=True, text=True, env=env,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = out.stdout.strip().splitlines()[-1]
+        results[cpus] = json.loads(line)
+    t8 = results[8]["flagship_sec"]
+    t32 = results[32]["flagship_sec"]
+    eff = (t8 / t32) / (32 / 8)
+    summary = {
+        "metric": "scaling_efficiency_8_to_32",
+        "value": round(eff, 3),
+        "unit": "ratio",
+        "t_num_cpus_8_sec": t8,
+        "t_num_cpus_32_sec": t32,
+        "throughput_8": results[8]["images_per_sec"],
+        "throughput_32": results[32]["images_per_sec"],
+        "rows": results[32]["rows"],
+        "sf": SF_DIR,
+    }
+    if record:
+        _record_baseline(summary)
+    return summary
+
+
+def _record_baseline(summary: dict) -> None:
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BASELINE.md")
+    marker = "\n## Measured results (bench.py --scaling)\n"
+    with open(path) as f:
+        content = f.read()
+    if marker in content:
+        content = content[: content.index(marker)]
+    block = (
+        f"{marker}\n"
+        f"| quantity | value |\n|---|---|\n"
+        f"| flagship image-dedup rows | {summary['rows']} |\n"
+        f"| wall time @ num_cpus=8 | {summary['t_num_cpus_8_sec']} s |\n"
+        f"| wall time @ num_cpus=32 | {summary['t_num_cpus_32_sec']} s |\n"
+        f"| throughput @ 8 | {summary['throughput_8']} images/s |\n"
+        f"| throughput @ 32 | {summary['throughput_32']} images/s |\n"
+        f"| scaling efficiency (8 -> 32 CPUs, = (T8/T32)/4) | "
+        f"{summary['value']} |\n"
+    )
+    with open(path, "w") as f:
+        f.write(content + block)
+
+
+def run_flagship_only() -> dict:
+    """One flagship image-dedup run; used by --scaling subprocesses."""
+    _init_ray(NUM_CPUS)
+    n_rows = int(os.environ.get("GRAFT_SCALING_ROWS", str(IMAGE_BENCH_ROWS)))
+    t, n = bench_image_dedup(n_rows)
+    return {
+        "flagship_sec": round(t, 3),
+        "images_per_sec": round(n_rows / t, 1),
+        "rows": n_rows,
+        "num_cpus": NUM_CPUS,
+    }
+
+
+if __name__ == "__main__":
+    import ray
+
+    mode = sys.argv[1] if len(sys.argv) > 1 else ""
+    if mode == "--scaling":
+        out = run_scaling(record="--record" in sys.argv or True)
+    elif mode == "--flagship-only":
+        out = run_flagship_only()
+    else:
+        out = run_bench()
+    print(json.dumps(out))
+    ray.shutdown()

@@ -61,10 +61,10 @@ class DedupConfig:
     # --- execution ----------------------------------------------------
     batch_size: int = 2048
     image_batch_size: int = 256   # binary payloads: small batches
-    # Shuffle partitions for joins. Sized for the test sandbox (a
-    # join spawns num_partitions aggregator actors); on a real
-    # multi-node cluster set this to ~2x total cores.
-    num_partitions: int = 8
+    # Shuffle partitions for joins / bucket merges. 0 = resolve at
+    # runtime to 2x the cluster's CPUs (bounded below at 8); on a
+    # multi-node cluster set explicitly to ~2x total cores.
+    num_partitions: int = 0
     actor_concurrency: int = 4
 
     # --- connected components ----------------------------------------

@@ -55,22 +55,38 @@ def _make_caption(rng: np.random.Generator, n_words: int) -> str:
 
 
 def _make_base_image(rng: np.random.Generator, w: int, h: int) -> np.ndarray:
-    """Procedural RGB: smooth 2-D gradient + low-frequency seeded pattern.
+    """Procedural RGB: smooth gradient + per-cluster 8x8 block pattern.
 
-    Smooth content keeps the lossy QDCT round-trip above 40 dB PSNR
-    (the per-row invariant) while per-cluster phases make images from
-    different clusters perceptually distinct.
+    The blocky component drives the gradient-sign perceptual hash, so
+    different clusters get well-separated hashes (pure sinusoids made
+    every image's dHash land within a few bits of every other's);
+    block-constant content keeps the lossy QDCT round-trip far above
+    the 40 dB PSNR invariant.
     """
     yy, xx = np.mgrid[0:h, 0:w].astype(np.float64)
     fx, fy = rng.uniform(0.5, 2.5, 2)
     px, py = rng.uniform(0, 2 * np.pi, 2)
-    base = rng.uniform(40, 200, 3)
+    base = rng.uniform(60, 180, 3)
+    # per-cluster blocky pattern, upsampled to image size
+    blocks = rng.uniform(-55.0, 55.0, (8, 8))
+    by = (yy * 8 / h).astype(np.int64).clip(0, 7)
+    bx = (xx * 8 / w).astype(np.int64).clip(0, 7)
+    pattern = blocks[by, bx]
+    # light box blur: soften block edges so the lossy DCT round-trip
+    # stays above the 40 dB PSNR invariant at quality 90
+    for _ in range(2):
+        pattern = (
+            pattern
+            + np.roll(pattern, 1, 0) + np.roll(pattern, -1, 0)
+            + np.roll(pattern, 1, 1) + np.roll(pattern, -1, 1)
+        ) / 5.0
     img = np.empty((h, w, 3), dtype=np.float64)
     for c in range(3):
         img[:, :, c] = (
             base[c]
-            + 40 * np.sin(2 * np.pi * fx * xx / w + px + c)
-            + 40 * np.cos(2 * np.pi * fy * yy / h + py - c)
+            + pattern
+            + 20 * np.sin(2 * np.pi * fx * xx / w + px + c)
+            + 20 * np.cos(2 * np.pi * fy * yy / h + py - c)
         )
     return np.clip(img, 0, 255).astype(np.uint8)
 

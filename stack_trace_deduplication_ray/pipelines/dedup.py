@@ -1,18 +1,31 @@
 """Flagship pipeline: images (or caption-only docs) -> dedup clusters.
 
-Lifecycle (SURVEY.md §3.4):
+Lifecycle (SURVEY.md §3.4, restructured for scale):
 
-    read -> signatures (actor map_batches, bytes projected away)
-         -> per-family bucket expansion (exact / minhash / simhash /
-            substring)
-         -> salted groupby -> candidate edges
-         -> verify (exact Jaccard / Hamming+PSNR / shared L-gram)
+    read -> signatures (actor map_batches; bytes projected away)
+         -> representative collapse: identical captions / identical
+            payloads shrink to one rep each (one groupby per axis);
+            the collapse edges are exact-dup edges needing no verify,
+            and ALL sketch stages then run on unique content only —
+            this removes identical-content skew at the root (the
+            boilerplate caption becomes one rep) and cuts candidate
+            volume by the duplication factor
+         -> per-family bucket expansion on reps (minhash / simhash /
+            substring), salted groupby -> candidate edges
+         -> per-stage candidate dedup (bands/chunks emit the same pair
+            many times) -> verify (exact Jaccard / PSNR / L-gram)
          -> union -> canonical edge dedup
          -> connected components -> clusters (+ stats)
 
-Every intermediate is a streaming ``ray.data.Dataset``; only the edge
-set (small relative to the corpus) and per-stage stats are ever
-collected.
+Semantic note: collapsing by identical caption (resp. identical
+payload bytes) is equivalent to running the sketch stages on every
+row, because identical captions always pass the Jaccard verify (J=1)
+and identical bytes always pass Hamming+PSNR (d=0, PSNR=inf); the
+collapse edges encode exactly those guaranteed-verified pairs.
+
+Every intermediate is a streaming ``ray.data.Dataset``; only edge sets
+(small relative to the corpus) are materialized (checkpoint
+boundaries).
 """
 
 from __future__ import annotations
@@ -35,48 +48,66 @@ logger = logging.getLogger(__name__)
 
 
 def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool):
-    """Run the enabled candidate+verify stages, union the edges."""
+    """Run the enabled candidate+verify stages, union the edges.
+
+    Returns (edges, stats). `sigs` must be materialized.
+    """
     edge_sets = []
     stats = []
     stages = cfg.stages if has_image else tuple(
         s for s in cfg.stages if s != "simhash"
     )
 
-    # Each stage's verified edge set is materialized before the union:
-    # edges are tiny relative to the corpus, this bounds the number of
-    # concurrent join aggregator pools (two per stage), and the
-    # materialized edge sets are the natural checkpoint boundary.
-    # Candidate edge sets are materialized before verify and verified
-    # sets before the union: a lazy input to a join would re-execute
-    # its whole shuffle pipeline once for schema inference and again
-    # for the join itself, and the materialized edge sets are the
-    # natural checkpoint boundary (edges are tiny vs the corpus).
-    if "exact" in stages:
-        e, st = cand.pairs_from_buckets(ex.expand_exact(sigs), "exact", cfg)
-        edge_sets.append(ver.finalize_exact(e.materialize()).materialize())
-        stats.append(st)
+    # ---- representative collapse (exact dedup per axis) --------------
+    cap_edges, cap_reps = cand.collapse_by(sigs, "caption_hash", "exact_caption")
+    edge_sets.append(cap_edges.materialize())
+    cap_reps = cap_reps.materialize()
+    if has_image:
+        img_edges, img_reps = cand.collapse_by(sigs, "image_hash", "exact_image")
+        edge_sets.append(img_edges.materialize())
+        img_reps = img_reps.materialize()
+
+    # ---- sketch stages over unique content ---------------------------
+    # Candidate-pair dedup (bands/chunks emit the same pair many
+    # times) is folded into each verify's first feature join
+    # (dedup_pairs=True). The three independent stage chains execute
+    # CONCURRENTLY in driver threads — each chain is a sequence of
+    # barriers, and overlapping them hides the fixed per-op latency.
+    from concurrent.futures import ThreadPoolExecutor
+
+    def run_minhash():
+        e, st = cand.pairs_from_buckets(
+            ex.expand_minhash(cap_reps, cfg), "minhash", cfg
+        )
+        return ver.verify_minhash(e.materialize(), cap_reps, cfg).materialize(), st
+
+    def run_simhash():
+        e, st = cand.simhash_pairs_from_buckets(
+            ex.expand_simhash(img_reps, cfg), "simhash", cfg
+        )
+        return (
+            ver.verify_simhash_psnr(e.materialize(), img_reps, cfg).materialize(),
+            st,
+        )
+
+    def run_substring():
+        e, st = cand.pairs_from_buckets(
+            ex.expand_substring(cap_reps, cfg), "substring", cfg
+        )
+        return ver.verify_substring(e.materialize(), cap_reps, cfg).materialize(), st
+
+    chains = []
     if "minhash" in stages:
-        e, st = cand.pairs_from_buckets(
-            ex.expand_minhash(sigs, cfg), "minhash", cfg
-        )
-        edge_sets.append(ver.verify_minhash(e.materialize(), sigs, cfg).materialize())
-        stats.append(st)
+        chains.append(run_minhash)
     if "simhash" in stages and has_image:
-        e, st = cand.pairs_from_buckets(
-            ex.expand_simhash(sigs, cfg), "simhash", cfg
-        )
-        edge_sets.append(
-            ver.verify_simhash(e.materialize(), sigs, images_ds, cfg).materialize()
-        )
-        stats.append(st)
+        chains.append(run_simhash)
     if "substring" in stages:
-        e, st = cand.pairs_from_buckets(
-            ex.expand_substring(sigs, cfg), "substring", cfg
-        )
-        edge_sets.append(
-            ver.verify_substring(e.materialize(), sigs, cfg).materialize()
-        )
-        stats.append(st)
+        chains.append(run_substring)
+    if chains:
+        with ThreadPoolExecutor(max_workers=len(chains)) as pool:
+            for edges_i, st in pool.map(lambda f: f(), chains):
+                edge_sets.append(edges_i)
+                stats.append(st)
 
     edges = edge_sets[0]
     for e in edge_sets[1:]:
@@ -95,8 +126,8 @@ def run_dedup(images_ds, cfg: DedupConfig = DEFAULT_CONFIG, has_image: bool = Tr
         if has_image
         else text_signature_stage(images_ds, cfg)
     )
-    # signatures are re-read by several stages and the verify joins —
-    # materialize once (bytes are NOT in this table).
+    # signatures are re-read by several stages — materialize once
+    # (bytes are NOT in this table).
     sigs = sigs.materialize()
     edges, stats = build_edges(images_ds, sigs, cfg, has_image)
     edges = edges.materialize()
@@ -110,14 +141,8 @@ def cluster_summary(clusters) -> pa.Table:
     Reference analog: per-issue report histograms,
     /root/reference/helpers/print_dataset_sizes.py:11-60.
     """
-    from ray.data.aggregate import Count
-
     sizes = clusters.groupby("cluster_id").count()
     hist = sizes.groupby("count()").count()
-    t = hist.to_pandas().rename(
-        columns={"count()": "cluster_size", "count()_2": "n_clusters"}
-    )
-    # ray names the second count col 'count()' too if no collision;
-    # normalize defensively
+    t = hist.to_pandas()
     t.columns = ["cluster_size", "n_clusters"][: len(t.columns)]
     return pa.Table.from_pandas(t.sort_values("cluster_size"), preserve_index=False)

@@ -1,0 +1,256 @@
+"""Relational operators over the TPC-H-ish tables and the events log.
+
+Covers the reference's aggregation / sort / top-k / join capability
+classes (SURVEY.md §2.5 A1-A3, §2.7 K1-K3) as Ray Data groupby /
+sort / broadcast-join pipelines. Column names match the SQL oracles in
+``__ray_entry__`` exactly; float aggregates are rounded on BOTH sides.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from stack_trace_deduplication_ray.sources.tables import read_table
+
+
+def events_top_value_per_type(sf_dir: str, k: int = 10):
+    """Top-k events by value per event_type (per-group sort + head —
+    reference: per-query ranked truncation, eval_fast.py:95-96 and
+    ranking_model.py:52,74). Output (event_type, event_id, value)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
+
+    def topk(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(
+            ["value", "event_id"], ascending=[False, True]
+        ).head(k)
+        return g[["event_type", "event_id", "value"]]
+
+    return ds.groupby("event_type").map_groups(topk, batch_format="pandas")
+
+
+def events_daily_user_agg(sf_dir: str):
+    """Per-(user, day) event count and value sum (K1 sort-by-time
+    analog as a windowed aggregate). Output (user_id, day, n, total)
+    with total rounded to 4 places."""
+    from ray.data.aggregate import Count, Sum
+
+    ds = read_table(sf_dir, "events", columns=["user_id", "ts", "value"])
+
+    def day(batch: pa.Table) -> pa.Table:
+        ts = batch.column("ts").to_pandas()
+        return pa.table(
+            {
+                "user_id": batch.column("user_id"),
+                # string day: identical value text on the Ray and SQL
+                # sides regardless of date/datetime dtype plumbing
+                "day": pa.array(ts.dt.strftime("%Y-%m-%d"), type=pa.string()),
+                "value": batch.column("value"),
+            }
+        )
+
+    agg = (
+        ds.map_batches(day, batch_format="pyarrow")
+        .groupby(["user_id", "day"])
+        .aggregate(Count(alias_name="n"), Sum("value", alias_name="total"))
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        return batch.set_column(
+            batch.schema.get_field_index("total"),
+            "total",
+            pa.array(
+                np.round(
+                    batch.column("total").to_numpy(zero_copy_only=False), 4
+                )
+            ),
+        )
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def users_first_event(sf_dir: str):
+    """Keep-first per user: the earliest event (exact-dedup keep-first
+    semantics on the time axis — reference chronological 'earlier
+    report wins', issue.py:13-22). Output (user_id, first_event_id)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def first(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"]).head(1)
+        return pd.DataFrame(
+            {
+                "user_id": g["user_id"].values,
+                "first_event_id": g["event_id"].values,
+            }
+        )
+
+    return ds.groupby("user_id").map_groups(first, batch_format="pandas")
+
+
+def lineitem_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"):
+    """TPC-H Q1-shaped pricing summary (sum/avg/count per flag+status).
+
+    Vectorized per-batch compute + built-in partial aggregates — the
+    A1-A3 aggregation class. Floats rounded to 4 places.
+    """
+    import datetime
+
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Mean, Sum
+
+    ds = read_table(
+        sf_dir,
+        "lineitem",
+        columns=[
+            "l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice",
+            "l_discount", "l_shipdate",
+        ],
+    )
+    cut = datetime.date.fromisoformat(cutoff)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        keep = pc.less_equal(batch.column("l_shipdate"), pa.scalar(cut))
+        t = batch.filter(keep)
+        disc_price = pc.multiply(
+            t.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), t.column("l_discount")),
+        )
+        return pa.table(
+            {
+                "l_returnflag": t.column("l_returnflag"),
+                "l_linestatus": t.column("l_linestatus"),
+                "l_quantity": t.column("l_quantity"),
+                "l_extendedprice": t.column("l_extendedprice"),
+                "disc_price": disc_price,
+            }
+        )
+
+    agg = (
+        ds.map_batches(prep, batch_format="pyarrow")
+        .groupby(["l_returnflag", "l_linestatus"])
+        .aggregate(
+            Sum("l_quantity", alias_name="sum_qty"),
+            Sum("l_extendedprice", alias_name="sum_base_price"),
+            Sum("disc_price", alias_name="sum_disc_price"),
+            Mean("l_quantity", alias_name="avg_qty"),
+            Count(alias_name="count_order"),
+        )
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        for col in ["sum_qty", "sum_base_price", "sum_disc_price", "avg_qty"]:
+            batch = batch.set_column(
+                batch.schema.get_field_index(col),
+                col,
+                pa.array(
+                    np.round(batch.column(col).to_numpy(zero_copy_only=False), 4)
+                ),
+            )
+        return batch
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def segment_order_stats(sf_dir: str):
+    """Per-market-segment order stats via broadcast hash join:
+    `customer` is the small side — ray.put once, dict-lookup per batch
+    (never a shuffle join; SURVEY.md §4.2 broadcast pattern).
+    Output (c_mktsegment, n_orders, max_price, avg_price rounded 4)."""
+    from ray.data.aggregate import Count, Max, Mean
+
+    cust = read_table(sf_dir, "customer", columns=["c_custkey", "c_mktsegment"])
+    cust_map = dict(
+        zip(*(cust.to_pandas()[c] for c in ["c_custkey", "c_mktsegment"]))
+    )
+    ref = ray.put(cust_map)
+
+    orders = read_table(sf_dir, "orders", columns=["o_custkey", "o_totalprice"])
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        seg = [m.get(ck) for ck in batch.column("o_custkey").to_pylist()]
+        return pa.table(
+            {
+                "c_mktsegment": pa.array(seg, type=pa.string()),
+                "o_totalprice": batch.column("o_totalprice"),
+            }
+        )
+
+    agg = (
+        orders.map_batches(attach, batch_format="pyarrow")
+        .groupby("c_mktsegment")
+        .aggregate(
+            Count(alias_name="n_orders"),
+            Max("o_totalprice", alias_name="max_price"),
+            Mean("o_totalprice", alias_name="avg_price"),
+        )
+    )
+
+    def rnd(batch: pa.Table) -> pa.Table:
+        for col in ["max_price", "avg_price"]:
+            batch = batch.set_column(
+                batch.schema.get_field_index(col),
+                col,
+                pa.array(
+                    np.round(batch.column(col).to_numpy(zero_copy_only=False), 4)
+                ),
+            )
+        return batch
+
+    return agg.map_batches(rnd, batch_format="pyarrow")
+
+
+def top_orders_by_revenue(sf_dir: str, k: int = 10):
+    """Top-k orders by lineitem revenue (multi-table: lineitem grouped,
+    then broadcast order dates). Output (o_orderkey, revenue,
+    o_orderdate), revenue rounded 4, global sort + limit."""
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    li = read_table(
+        sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
+    )
+
+    def rev(batch: pa.Table) -> pa.Table:
+        r = pc.multiply(
+            batch.column("l_extendedprice"),
+            pc.subtract(pa.scalar(1.0), batch.column("l_discount")),
+        )
+        return pa.table(
+            {"l_orderkey": batch.column("l_orderkey"), "rev": r}
+        )
+
+    per_order = (
+        li.map_batches(rev, batch_format="pyarrow")
+        .groupby("l_orderkey")
+        .aggregate(Sum("rev", alias_name="revenue"))
+    )
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+    date_map = dict(
+        zip(*(orders.to_pandas()[c] for c in ["o_orderkey", "o_orderdate"]))
+    )
+    ref = ray.put(date_map)
+
+    def attach(batch: pa.Table) -> pa.Table:
+        m = ray.get(ref)
+        keys = batch.column("l_orderkey").to_pylist()
+        return pa.table(
+            {
+                "o_orderkey": batch.column("l_orderkey"),
+                "revenue": pa.array(
+                    np.round(
+                        batch.column("revenue").to_numpy(zero_copy_only=False), 4
+                    )
+                ),
+                "o_orderdate": pa.array([m.get(kk) for kk in keys]),
+            }
+        )
+
+    return (
+        per_order.map_batches(attach, batch_format="pyarrow")
+        .sort(["revenue", "o_orderkey"], descending=[True, False])
+        .limit(k)
+    )

@@ -36,7 +36,7 @@ import pyarrow as pa
 import ray
 
 from stack_trace_deduplication_ray.config import DedupConfig
-from stack_trace_deduplication_ray.stages.joins import join_ds
+from stack_trace_deduplication_ray.stages.joins import join_ds, resolve_partitions
 
 logger = logging.getLogger(__name__)
 
@@ -177,7 +177,7 @@ def label_propagation(edges, cfg: DedupConfig, max_rounds: int = 50):
             .aggregate(Min("label", alias_name="label"))
             # coalesce: without this the block count multiplies each
             # round and per-round wall time grows superlinearly
-            .repartition(cfg.num_partitions)
+            .repartition(resolve_partitions(cfg))
             .materialize()
         )
         cur = _labels_checksum(labels)

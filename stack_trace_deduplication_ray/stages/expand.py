@@ -68,10 +68,23 @@ def expand_minhash(sigs_ds, cfg: DedupConfig):
 
 
 def expand_simhash(sigs_ds, cfg: DedupConfig):
+    """Expansion carries the simhash payload so the bucket emitter can
+    apply the Hamming(<=radius) test in-group (no attachment join)."""
+
     def fn(batch: pa.Table) -> pa.Table:
         sh = batch.column("simhash").to_numpy(zero_copy_only=False).view(U64)
         keys = H.simhash_chunk_keys(sh, cfg.simhash_chunks)
-        return _expand_table(batch.column("image_id").to_pylist(), keys)
+        n, k = keys.shape
+        ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.reshape(-1).view(np.int64)),
+                "image_id": pa.array(np.repeat(ids, k)),
+                "simhash": pa.array(
+                    np.repeat(sh.view(np.int64), k)
+                ),
+            }
+        )
 
     return sigs_ds.select_columns(["image_id", "simhash"]).map_batches(
         fn, batch_format="pyarrow"

@@ -32,6 +32,16 @@ _SIDE_L = np.int8(0)
 _SIDE_R = np.int8(1)
 
 
+def resolve_partitions(cfg: DedupConfig) -> int:
+    """cfg.num_partitions, or 2x cluster CPUs when left at 0."""
+    if cfg.num_partitions:
+        return cfg.num_partitions
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(8, 2 * cpus)
+
+
 def _key_partition(keys, P: int) -> np.ndarray:
     arr = np.asarray(keys, dtype=object)
     if len(arr) == 0:
@@ -48,14 +58,21 @@ def join_ds(
     cfg: DedupConfig,
     join_type: str = "inner",
     right_suffix: str = "",  # unused; kept for call-site symmetry
+    dedup_left: list[str] | None = None,
 ):
     """Equi-join `left` with `right` (right side keyed by `right_on`).
 
     Output: left columns + right columns (minus `right_on`).
     `join_type`: "inner" or "left_outer".
+
+    `dedup_left`: drop duplicate left rows by these columns inside each
+    partition before merging. Because rows are hash-partitioned on the
+    join key, this is a GLOBAL dedup whenever the key is one of the
+    dedup columns — used to fold candidate-pair dedup into the verify
+    feature join (saves one full shuffle per stage).
     """
     assert join_type in ("inner", "left_outer"), join_type
-    P = cfg.num_partitions
+    P = resolve_partitions(cfg)
     lsch = left.schema()
     rsch = right.schema()
     lcols = list(lsch.names)
@@ -107,6 +124,8 @@ def join_ds(
         if not lmask.any():
             return out_schema.empty_table()
         ldf = group.filter(pa.array(lmask)).select(["__key", *lcols]).to_pandas()
+        if dedup_left:
+            ldf = ldf.drop_duplicates(dedup_left, keep="first")
         rmask = ~lmask
         if not rmask.any():
             if join_type == "inner":
@@ -124,3 +143,85 @@ def join_ds(
         )
 
     return unified.groupby("__p").map_groups(merge, batch_format="pyarrow")
+
+
+def partitioned_groups(ds, key_col: str, partition_fn, cfg: DedupConfig):
+    """Group-wise processing at PARTITION granularity.
+
+    ``groupby(key).map_groups(fn)`` pays a Python call per group —
+    ruinous for tens of thousands of tiny buckets. This helper hash-
+    partitions rows on `key_col` (one shuffle, same movement as the
+    groupby) and hands each partition's rows to `partition_fn` as ONE
+    pandas DataFrame (sorted by `key_col`); the function iterates its
+    groups in-process. P calls total instead of |groups|.
+    """
+    import pandas as pd
+
+    P = resolve_partitions(cfg)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if pa.types.is_integer(keys.type):
+            import numpy as _np
+
+            from stack_trace_deduplication_ray.functions import hashing as H
+
+            k = keys.to_numpy(zero_copy_only=False).astype(_np.int64)
+            p = (H.splitmix64(k.view(_np.uint64)) % _np.uint64(P)).astype(
+                _np.int32
+            )
+        else:
+            from stack_trace_deduplication_ray.functions import hashing as H
+
+            p = _key_partition(keys.to_pylist(), P)
+        return batch.append_column("__p", pa.array(p))
+
+    def run(part: pd.DataFrame):
+        part = part.drop(columns="__p").sort_values(key_col, kind="stable")
+        out = partition_fn(part)
+        # hand Arrow back to Ray: pandas-built blocks surface numpy
+        # dtypes in Dataset.schema(), which downstream joins can't use
+        return pa.Table.from_pandas(out, preserve_index=False)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        # coalesce: upstream unions can carry hundreds of tiny blocks
+        # and the sort pays a fixed cost per block
+        .repartition(P)
+        .groupby("__p")
+        .map_groups(run, batch_format="pandas")
+    )
+
+
+def partitioned_groups_arrow(ds, key_col: str, partition_fn, cfg: DedupConfig):
+    """Arrow-native sibling of partitioned_groups: the partition fn
+    receives a pyarrow.Table sorted by `key_col`. Use when the rows
+    carry list-typed columns that must not round-trip through pandas
+    (e.g. MinHash signature lists)."""
+    P = resolve_partitions(cfg)
+
+    def tag(batch: pa.Table) -> pa.Table:
+        keys = batch.column(key_col)
+        if pa.types.is_integer(keys.type):
+            import numpy as _np
+
+            from stack_trace_deduplication_ray.functions import hashing as H
+
+            k = keys.to_numpy(zero_copy_only=False).astype(_np.int64)
+            p = (H.splitmix64(k.view(_np.uint64)) % _np.uint64(P)).astype(
+                _np.int32
+            )
+        else:
+            p = _key_partition(keys.to_pylist(), P)
+        return batch.append_column("__p", pa.array(p))
+
+    def run(part: pa.Table) -> pa.Table:
+        part = part.drop_columns(["__p"]).sort_by(key_col)
+        return partition_fn(part)
+
+    return (
+        ds.map_batches(tag, batch_format="pyarrow")
+        .repartition(P)
+        .groupby("__p")
+        .map_groups(run, batch_format="pyarrow")
+    )

@@ -17,6 +17,7 @@ import numpy as np
 import pyarrow as pa
 
 from stack_trace_deduplication_ray.config import DedupConfig
+from stack_trace_deduplication_ray.functions import codecs as C
 from stack_trace_deduplication_ray.functions import hashing as H
 
 U64 = np.uint64
@@ -73,6 +74,23 @@ class SignatureStage:
             np.int64
         )
 
+        # decode ONCE per row here (actor pool); downstream PSNR verify
+        # compares these 16x16 gray thumbnails (1 KB) instead of
+        # shipping the full payload bytes through a join shuffle.
+        fmts = batch.column("fmt").to_pylist()
+        blobs = batch.column("bytes").to_pylist()
+        thumbs = np.zeros((len(blobs), 256), dtype=np.float32)
+        decode_ok = np.zeros(len(blobs), dtype=bool)
+        for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
+            try:
+                px = C.decode_image(blob, fmt)
+            except Exception:
+                continue  # undecodable payload: thumb stays zero
+            thumbs[i] = C.resize_area(C.to_gray(px), 16, 16).astype(
+                np.float32
+            ).reshape(-1)
+            decode_ok[i] = True
+
         n, num_perm = sig.shape
         # all hash columns are stored as int64 (bit-cast): Ray's
         # groupby/shuffle round-trips keys through Python ints, and
@@ -91,6 +109,10 @@ class SignatureStage:
                 "simhash": pa.array(simhash),
                 "minhash_sig": sig_list,
                 "n_shingles": pa.array(n_shingles),
+                "thumb": pa.FixedSizeListArray.from_arrays(
+                    pa.array(thumbs.reshape(-1)), 256
+                ),
+                "decode_ok": pa.array(decode_ok),
             }
         )
 

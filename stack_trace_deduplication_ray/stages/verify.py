@@ -31,10 +31,16 @@ from stack_trace_deduplication_ray.stages.joins import join_ds
 U64 = np.uint64
 
 
-def attach_pair_features(edges, feats, cfg: DedupConfig, suffixes=("_src", "_dst")):
+def attach_pair_features(
+    edges, feats, cfg: DedupConfig, suffixes=("_src", "_dst"),
+    dedup_pairs: bool = False,
+):
     """edges(src, dst, ...) x feats(image_id, f...) -> one row per edge
     with f_src / f_dst columns (two partitioned hash joins; feature
-    columns are pre-renamed per side so names never collide)."""
+    columns are pre-renamed per side so names never collide).
+
+    dedup_pairs=True folds global (src, dst) candidate dedup into the
+    first join (partitioned on src), saving a dedicated shuffle."""
     feat_cols = [c for c in feats.schema().names if c != "image_id"]
 
     def renamer(suffix):
@@ -47,7 +53,10 @@ def attach_pair_features(edges, feats, cfg: DedupConfig, suffixes=("_src", "_dst
         return fn
 
     f_src = feats.map_batches(renamer(suffixes[0]), batch_format="pyarrow")
-    j1 = join_ds(edges, f_src, "src", "__fid" + suffixes[0], cfg)
+    j1 = join_ds(
+        edges, f_src, "src", "__fid" + suffixes[0], cfg,
+        dedup_left=["src", "dst"] if dedup_pairs else None,
+    )
     f_dst = feats.map_batches(renamer(suffixes[1]), batch_format="pyarrow")
     return join_ds(j1, f_dst, "dst", "__fid" + suffixes[1], cfg)
 
@@ -68,7 +77,7 @@ def _jaccard_batch(cap_a: list[str], cap_b: list[str], k: int) -> np.ndarray:
 def verify_minhash(edges, sigs, cfg: DedupConfig):
     """Keep pairs with exact shingle Jaccard >= cfg.jaccard_threshold."""
     feats = sigs.select_columns(["image_id", "caption_norm"])
-    paired = attach_pair_features(edges, feats, cfg)
+    paired = attach_pair_features(edges, feats, cfg, dedup_pairs=True)
 
     def score(batch: pa.Table) -> pa.Table:
         jac = _jaccard_batch(
@@ -88,7 +97,7 @@ def verify_substring(edges, sigs, cfg: DedupConfig):
     L-gram set intersection; 64-bit collisions are negligible and the
     downstream clustering treats edges as candidates for CC only)."""
     feats = sigs.select_columns(["image_id", "caption_norm"])
-    paired = attach_pair_features(edges, feats, cfg)
+    paired = attach_pair_features(edges, feats, cfg, dedup_pairs=True)
     L = cfg.substring_min_len
 
     def score(batch: pa.Table) -> pa.Table:
@@ -170,6 +179,50 @@ def verify_simhash(edges, sigs, images, cfg: DedupConfig):
         batch_format="pyarrow",
         batch_size=cfg.image_batch_size,
     )
+
+
+def verify_simhash_psnr(edges, sigs, cfg: DedupConfig):
+    """PSNR verify for simhash candidate pairs whose Hamming test
+    already ran inside the bucket emitter
+    (candidates.simhash_pairs_from_buckets).
+
+    Compares the 16x16 decoded-gray thumbnails computed once per row
+    by the signature stage — the payload `bytes` never enter a
+    shuffle, and the PSNR is a single vectorized numpy pass per batch
+    (no per-pair decode). Rows whose payload failed to decode
+    (decode_ok=false -> zero thumb) never pass against a real image
+    and only pair with other undecodable rows at PSNR=inf; those are
+    filtered by decode_ok."""
+    feats = sigs.select_columns(["image_id", "thumb", "decode_ok"])
+    paired = attach_pair_features(edges, feats, cfg, dedup_pairs=True)
+
+    def psnr_check(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch.select(["src", "dst", "stage"]).append_column(
+                "score", pa.array([], type=pa.float64())
+            )
+        ta = np.stack(
+            batch.column("thumb_src").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        tb = np.stack(
+            batch.column("thumb_dst").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        ok = np.logical_and(
+            batch.column("decode_ok_src").to_numpy(zero_copy_only=False),
+            batch.column("decode_ok_dst").to_numpy(zero_copy_only=False),
+        )
+        mse = np.mean((ta - tb) ** 2, axis=1)
+        with np.errstate(divide="ignore"):
+            p = 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-300))
+        keep = ok & (p >= cfg.psnr_threshold_db)
+        score = np.where(np.isinf(p) | (p > 100.0), 1.0, p / 100.0)
+        out = batch.select(["src", "dst", "stage"]).filter(pa.array(keep))
+        return out.append_column(
+            "score", pa.array(score[keep], type=pa.float64())
+        )
+
+    return paired.map_batches(psnr_check, batch_format="pyarrow")
 
 
 def finalize_exact(edges):

@@ -72,8 +72,8 @@ def test_cluster_id_is_min_member(dedup_result):
 
 
 def test_skew_bucket_salted_and_clustered(dedup_result):
-    """The boilerplate-caption bucket must be salted (stats) yet still
-    come out as ONE cluster (bridged sub-buckets)."""
+    """The boilerplate-caption rows collapse to one representative
+    (identical captions) and must come out as ONE cluster."""
     res, clusters, truth = dedup_result
     skew_ids = truth[truth.dup_class == "skew"].image_id
     assert len(skew_ids) > 2
@@ -86,7 +86,9 @@ def test_edges_canonical(dedup_result):
     e = res["edges"].to_pandas()
     assert (e.src < e.dst).all()
     assert not e.duplicated(["src", "dst"]).any()
-    assert set(e.stage.unique()) <= {"exact", "minhash", "simhash", "substring"}
+    assert set(e.stage.unique()) <= {
+        "exact_caption", "exact_image", "minhash", "simhash", "substring"
+    }
 
 
 def test_distractors_stay_singletons(dedup_result):
