@@ -62,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": similarity.knn_brute_force,
         "same_label_near_pairs": similarity.same_label_near_pairs,
         "lsh_near_pairs": similarity.lsh_near_pairs,
+        "knn_label_accuracy": similarity.knn_label_accuracy,
     }
 
 
@@ -177,6 +178,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE e.vec_id != 0
             ORDER BY cos DESC, e.vec_id ASC
             LIMIT 10
+        """,
+        "knn_label_accuracy": """
+            WITH sims AS (
+                SELECT a.vec_id, a.label AS true_label, b.label AS cand_label,
+                       list_cosine_similarity(a.embedding, b.embedding) AS cos,
+                       b.vec_id AS bid
+                FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            ),
+            ranked AS (
+                SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY cos DESC, bid ASC
+                ) AS rn FROM sims
+            )
+            SELECT count(*) AS n,
+                   sum(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END)
+                       AS correct,
+                   round(sum(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END)
+                         * 1.0 / count(*), 4) AS accuracy
+            FROM ranked WHERE rn = 1
         """,
         "same_label_near_pairs": """
             SELECT a.vec_id AS src, b.vec_id AS dst,

@@ -76,15 +76,23 @@ def headline_queries():
 
 def bench_image_dedup(n_rows: int) -> tuple[float, int]:
     """Flagship image+caption dedup over the synthetic fixture
-    (generated once, cached under /tmp)."""
+    (generated once, cached under /tmp; parallel sharded generation
+    above 50k rows)."""
     import ray.data as rd
 
     from stack_trace_deduplication_ray.config import DedupConfig
-    from stack_trace_deduplication_ray.fixtures.images import materialize_fixture
+    from stack_trace_deduplication_ray.fixtures.images import (
+        materialize_fixture,
+        materialize_fixture_sharded,
+    )
     from stack_trace_deduplication_ray.pipelines.dedup import run_dedup
 
-    d = materialize_fixture(n_rows, seed=42)
-    images = rd.read_parquet(f"{d}/images.parquet")
+    if n_rows > 50_000:
+        d = materialize_fixture_sharded(n_rows, seed=42)
+        images = rd.read_parquet([f"{d}/{f}" for f in sorted(__import__("os").listdir(d)) if f.startswith("images_")])
+    else:
+        d = materialize_fixture(n_rows, seed=42)
+        images = rd.read_parquet(f"{d}/images.parquet")
     t0 = time.time()
     res = run_dedup(images, DedupConfig())
     n = res["clusters"].count()

@@ -22,5 +22,31 @@ skewed LSH buckets.
 
 from stack_trace_deduplication_ray.config import DedupConfig
 
+
+def _shield_ray_fsspec_probe() -> None:
+    """Environment workaround: Ray's parquet path resolution probes
+    ``fsspec.implementations.http.HTTPFileSystem`` and only catches
+    ModuleNotFoundError, but in this container (fsspec without aiohttp)
+    the probe can raise a plain ImportError from a partially-imported
+    module, killing every local read_parquet. Wrap the probe so an
+    ImportError means "not an HTTP filesystem"."""
+    try:
+        from ray.data.datasource import path_util
+    except Exception:
+        return
+    orig = path_util._is_http_filesystem
+
+    def safe(fs):
+        try:
+            return orig(fs)
+        except ImportError:
+            return False
+
+    if getattr(orig, "__name__", "") != "safe":
+        path_util._is_http_filesystem = safe
+
+
+_shield_ray_fsspec_probe()
+
 __all__ = ["DedupConfig"]
 __version__ = "0.1.0"

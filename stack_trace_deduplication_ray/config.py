@@ -65,7 +65,9 @@ class DedupConfig:
     # runtime to 2x the cluster's CPUs (bounded below at 8); on a
     # multi-node cluster set explicitly to ~2x total cores.
     num_partitions: int = 0
-    actor_concurrency: int = 4
+    # Actor-pool max size for stateful map stages. 0 = resolve at
+    # runtime to (cluster CPUs - 2, min 2).
+    actor_concurrency: int = 0
 
     # --- connected components ----------------------------------------
     # Below this many edges the components are solved driver-side with

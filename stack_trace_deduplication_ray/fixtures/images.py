@@ -273,3 +273,72 @@ def materialize_fixture(
     with open(done, "w") as f:
         f.write("ok")
     return out
+
+
+def _gen_shard(shard: int, n_rows: int, seed: int, out_dir: str,
+               include_skew: bool) -> str:
+    """Generate one deterministic shard (pure fn of (seed, shard))."""
+    rng_seed = np.random.default_rng([seed, shard])
+    # reuse make_images' machinery by re-seeding: shard-local clusters
+    images, truth = make_images(
+        n_rows, seed=int(rng_seed.integers(0, 2**31)),
+    )
+    if not include_skew:
+        # drop shard-local skew rows (only shard 0 carries the global
+        # boilerplate cluster so ground truth stays consistent)
+        keep = [
+            i for i, c in enumerate(truth.column("dup_class").to_pylist())
+            if c != "skew"
+        ]
+        images = images.take(keep)
+        truth = truth.take(keep)
+    # prefix ids with the shard so they are globally unique and the
+    # lexicographic order stays deterministic
+    import pyarrow.compute as pc
+
+    def reprefix(tbl, col):
+        ids = [f"s{shard:04d}{v}" for v in tbl.column(col).to_pylist()]
+        return tbl.set_column(
+            tbl.schema.get_field_index(col), col, pa.array(ids, type=pa.string())
+        )
+
+    images = reprefix(images, "image_id")
+    truth = reprefix(reprefix(truth, "image_id"), "cluster_id")
+    pq.write_table(
+        images, os.path.join(out_dir, f"images_{shard:04d}.parquet"),
+        row_group_size=4096,
+    )
+    pq.write_table(
+        truth, os.path.join(out_dir, f"truth_{shard:04d}.parquet")
+    )
+    return f"shard {shard} ok"
+
+
+def materialize_fixture_sharded(
+    n_rows: int,
+    seed: int = 42,
+    root: str = "/tmp/stack_dedup_fixtures",
+    shard_rows: int = 25_000,
+) -> str:
+    """Parallel sharded fixture generation via Ray tasks (one task per
+    shard, deterministic per (seed, shard)); resumable-output layout:
+    one parquet file per shard + a _DONE marker. Requires an active
+    Ray session. Duplicate clusters are shard-local (plus the global
+    boilerplate-caption cluster, generated only in shard 0)."""
+    import ray
+
+    out = os.path.join(root, f"sharded_n{n_rows}_s{seed}")
+    done = os.path.join(out, "_DONE")
+    if os.path.exists(done):
+        return out
+    os.makedirs(out, exist_ok=True)
+    n_shards = max(1, -(-n_rows // shard_rows))
+    per = n_rows // n_shards
+    gen = ray.remote(num_cpus=1)(_gen_shard)
+    futs = [
+        gen.remote(s, per, seed, out, s == 0) for s in range(n_shards)
+    ]
+    ray.get(futs)
+    with open(done, "w") as f:
+        f.write(f"{n_shards} shards x {per} rows")
+    return out

@@ -47,10 +47,12 @@ from stack_trace_deduplication_ray.stages.signatures import (
 logger = logging.getLogger(__name__)
 
 
-def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool):
+def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
     """Run the enabled candidate+verify stages, union the edges.
 
-    Returns (edges, stats). `sigs` must be materialized.
+    Returns (edges, stats). `sigs` must be materialized. `ckpt` is an
+    optional state.checkpoint.StageCheckpoint: each stage's verified
+    edge set is persisted and a resumed run skips completed stages.
     """
     edge_sets = []
     stats = []
@@ -58,13 +60,25 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool):
         s for s in cfg.stages if s != "simhash"
     )
 
+    def checkpointed(name, thunk):
+        if ckpt is None:
+            return thunk()
+        ds, loaded = ckpt.run_or_load(name, thunk)
+        if loaded:
+            logger.info("stage %s: loaded from checkpoint", name)
+        return ds
+
     # ---- representative collapse (exact dedup per axis) --------------
     cap_edges, cap_reps = cand.collapse_by(sigs, "caption_hash", "exact_caption")
-    edge_sets.append(cap_edges.materialize())
+    edge_sets.append(
+        checkpointed("exact_caption", lambda: cap_edges.materialize())
+    )
     cap_reps = cap_reps.materialize()
     if has_image:
         img_edges, img_reps = cand.collapse_by(sigs, "image_hash", "exact_image")
-        edge_sets.append(img_edges.materialize())
+        edge_sets.append(
+            checkpointed("exact_image", lambda: img_edges.materialize())
+        )
         img_reps = img_reps.materialize()
 
     # ---- sketch stages over unique content ---------------------------
@@ -76,25 +90,34 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool):
     from concurrent.futures import ThreadPoolExecutor
 
     def run_minhash():
-        e, st = cand.pairs_from_buckets(
-            ex.expand_minhash(cap_reps, cfg), "minhash", cfg
-        )
-        return ver.verify_minhash(e.materialize(), cap_reps, cfg).materialize(), st
+        def thunk():
+            e, st = cand.pairs_from_buckets(
+                ex.expand_minhash(cap_reps, cfg), "minhash", cfg
+            )
+            run_minhash.stats = st
+            return ver.verify_minhash(e.materialize(), cap_reps, cfg).materialize()
+
+        return checkpointed("minhash", thunk), getattr(run_minhash, "stats", {"stage": "minhash"})
 
     def run_simhash():
-        e, st = cand.simhash_pairs_from_buckets(
-            ex.expand_simhash(img_reps, cfg), "simhash", cfg
-        )
-        return (
-            ver.verify_simhash_psnr(e.materialize(), img_reps, cfg).materialize(),
-            st,
-        )
+        def thunk():
+            e, st = cand.simhash_pairs_from_buckets(
+                ex.expand_simhash(img_reps, cfg), "simhash", cfg
+            )
+            run_simhash.stats = st
+            return ver.verify_simhash_psnr(e.materialize(), img_reps, cfg).materialize()
+
+        return checkpointed("simhash", thunk), getattr(run_simhash, "stats", {"stage": "simhash"})
 
     def run_substring():
-        e, st = cand.pairs_from_buckets(
-            ex.expand_substring(cap_reps, cfg), "substring", cfg
-        )
-        return ver.verify_substring(e.materialize(), cap_reps, cfg).materialize(), st
+        def thunk():
+            e, st = cand.pairs_from_buckets(
+                ex.expand_substring(cap_reps, cfg), "substring", cfg
+            )
+            run_substring.stats = st
+            return ver.verify_substring(e.materialize(), cap_reps, cfg).materialize()
+
+        return checkpointed("substring", thunk), getattr(run_substring, "stats", {"stage": "substring"})
 
     chains = []
     if "minhash" in stages:
@@ -115,12 +138,33 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool):
     return cand.dedup_edges(edges), stats
 
 
-def run_dedup(images_ds, cfg: DedupConfig = DEFAULT_CONFIG, has_image: bool = True):
+def run_dedup(
+    images_ds,
+    cfg: DedupConfig = DEFAULT_CONFIG,
+    has_image: bool = True,
+    checkpoint_dir: str | None = None,
+    input_id: str = "",
+):
     """Full pipeline. Returns dict with 'clusters', 'edges', 'stats'.
 
     `images_ds` needs columns (image_id, caption) plus — when
     has_image — (bytes, fmt, phash).
+
+    `checkpoint_dir` enables per-stage resume: each stage's verified
+    edge set is written as partitioned parquet with a lineage manifest
+    keyed by fingerprint(config, input_id); a rerun with the same
+    fingerprint skips completed stages (SURVEY.md §4.3).
     """
+    ckpt = None
+    if checkpoint_dir is not None:
+        from stack_trace_deduplication_ray.state.checkpoint import (
+            StageCheckpoint,
+            config_fingerprint,
+        )
+
+        ckpt = StageCheckpoint(
+            checkpoint_dir, config_fingerprint(cfg, input_id)
+        )
     sigs = (
         signature_stage(images_ds, cfg)
         if has_image
@@ -129,7 +173,7 @@ def run_dedup(images_ds, cfg: DedupConfig = DEFAULT_CONFIG, has_image: bool = Tr
     # signatures are re-read by several stages — materialize once
     # (bytes are NOT in this table).
     sigs = sigs.materialize()
-    edges, stats = build_edges(images_ds, sigs, cfg, has_image)
+    edges, stats = build_edges(images_ds, sigs, cfg, has_image, ckpt=ckpt)
     edges = edges.materialize()
     clusters = cc_mod.assign_clusters(sigs, edges, cfg)
     return {"clusters": clusters, "edges": edges, "stats": stats}

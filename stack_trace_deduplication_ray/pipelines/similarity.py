@@ -191,3 +191,62 @@ def lsh_near_pairs(sf_dir: str, threshold: float = 0.8, n_bits: int = 12):
         out.groupby(["src", "dst"]).map_groups(first_row, batch_format="pandas"),
         pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("cos", pa.float64())]),
     )
+
+
+def knn_label_accuracy(sf_dir: str):
+    """Leave-one-out 1-NN label accuracy over the embeddings table —
+    the retrieval-quality evaluation shape of the reference
+    (Accuracy@1 over ranked candidates, ea/sim/dev/evaluation/metrics/
+    base/per_instance/accuracy.py:6-27) as one brute-force vectorized
+    pass: every batch scores against the broadcast full matrix.
+
+    Output: one row (n, correct, accuracy rounded 4).
+    """
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    full = ds.materialize()
+    ids_all, mats, labels_all = [], [], []
+    for b in full.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        i, m = _emb_matrix(b)
+        ids_all.append(i)
+        mats.append(m)
+        labels_all.append(b.column("label").to_numpy(zero_copy_only=False))
+    all_ids = np.concatenate(ids_all)
+    order = np.argsort(all_ids)
+    all_ids = all_ids[order]
+    all_mat = np.concatenate(mats)[order]
+    all_lab = np.concatenate(labels_all)[order]
+    all_mat = all_mat / np.maximum(
+        np.linalg.norm(all_mat, axis=1, keepdims=True), 1e-12
+    )
+    ref = ray.put((all_ids, all_mat, all_lab))
+
+    def score(batch: pa.Table) -> pa.Table:
+        key_ids, mat, lab = ray.get(ref)
+        ids, q = _emb_matrix(batch)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        sims = qn @ mat.T  # (b, N)
+        self_pos = np.searchsorted(key_ids, ids)
+        sims[np.arange(len(ids)), self_pos] = -np.inf  # leave-one-out
+        # deterministic tie-break: highest sim, then smallest vec_id
+        # (argmax returns the first/smallest index on ties, and key_ids
+        # is sorted ascending)
+        nn = np.argmax(sims, axis=1)
+        pred = lab[nn]
+        true = batch.column("label").to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "correct": pa.array((pred == true).astype(np.int64)),
+            }
+        )
+
+    correct = full.map_batches(score, batch_format="pyarrow").sum("correct")
+    n = full.count()
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "correct": pa.array([int(correct)], type=pa.int64()),
+            "accuracy": pa.array(
+                [round(int(correct) / n, 4)], type=pa.float64()
+            ),
+        }
+    )

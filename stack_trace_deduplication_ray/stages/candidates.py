@@ -62,13 +62,17 @@ EDGE_SCHEMA = pa.schema(
 )
 
 
-def _empty_edges_df() -> pd.DataFrame:
-    return pd.DataFrame(
+def _edges_table(src, dst, stage: str) -> pa.Table:
+    """Canonical edges Arrow table with the declared schema (explicit
+    types even when empty — empty pandas object columns would degrade
+    to Arrow null type and poison downstream schema unification)."""
+    n = len(src)
+    return pa.table(
         {
-            "src": pd.Series(dtype="object"),
-            "dst": pd.Series(dtype="object"),
-            "stage": pd.Series(dtype="object"),
-            "score": pd.Series(dtype="float64"),
+            "src": pa.array(list(src), type=pa.string()),
+            "dst": pa.array(list(dst), type=pa.string()),
+            "stage": pa.array([stage] * n, type=pa.string()),
+            "score": pa.array(np.zeros(n), type=pa.float64()),
         }
     )
 
@@ -186,15 +190,9 @@ def pairs_from_buckets(
                 src_all.append(g[i])
                 dst_all.append(g[j])
         if not src_all:
-            return _empty_edges_df()
-        src = np.concatenate(src_all)
-        dst = np.concatenate(dst_all)
-        return pd.DataFrame(
-            {
-                "src": src, "dst": dst,
-                "stage": np.full(len(src), stage, dtype=object),
-                "score": np.zeros(len(src)),
-            }
+            return _edges_table([], [], stage)
+        return _edges_table(
+            np.concatenate(src_all), np.concatenate(dst_all), stage
         )
 
     edges = partitioned_groups(
@@ -223,15 +221,9 @@ def pairs_from_buckets(
                 src_all.append(g[:-1])
                 dst_all.append(g[1:])
             if not src_all:
-                return _empty_edges_df()
-            src = np.concatenate(src_all)
-            dst = np.concatenate(dst_all)
-            return pd.DataFrame(
-                {
-                    "src": src, "dst": dst,
-                    "stage": np.full(len(src), stage, dtype=object),
-                    "score": np.zeros(len(src)),
-                }
+                return _edges_table([], [], stage)
+            return _edges_table(
+                np.concatenate(src_all), np.concatenate(dst_all), stage
             )
 
         bridges = partitioned_groups(
@@ -287,15 +279,9 @@ def simhash_pairs_from_buckets(expanded, stage: str, cfg: DedupConfig):
             src_all.append(np.minimum(a, b))
             dst_all.append(np.maximum(a, b))
         if not src_all:
-            return _empty_edges_df()
-        src = np.concatenate(src_all)
-        dst = np.concatenate(dst_all)
-        return pd.DataFrame(
-            {
-                "src": src, "dst": dst,
-                "stage": np.full(len(src), stage, dtype=object),
-                "score": np.zeros(len(src)),
-            }
+            return _edges_table([], [], stage)
+        return _edges_table(
+            np.concatenate(src_all), np.concatenate(dst_all), stage
         )
 
     edges = partitioned_groups(

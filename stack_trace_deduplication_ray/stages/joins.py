@@ -32,6 +32,16 @@ _SIDE_L = np.int8(0)
 _SIDE_R = np.int8(1)
 
 
+def resolve_actors(cfg: DedupConfig) -> int:
+    """cfg.actor_concurrency, or (cluster CPUs - 2) when left at 0."""
+    if cfg.actor_concurrency:
+        return cfg.actor_concurrency
+    import ray
+
+    cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
+    return max(2, cpus - 2)
+
+
 def resolve_partitions(cfg: DedupConfig) -> int:
     """cfg.num_partitions, or 2x cluster CPUs when left at 0."""
     if cfg.num_partitions:
@@ -179,9 +189,19 @@ def partitioned_groups(ds, key_col: str, partition_fn, cfg: DedupConfig):
     def run(part: pd.DataFrame):
         part = part.drop(columns="__p").sort_values(key_col, kind="stable")
         out = partition_fn(part)
+        if isinstance(out, pa.Table):
+            return out
         # hand Arrow back to Ray: pandas-built blocks surface numpy
-        # dtypes in Dataset.schema(), which downstream joins can't use
-        return pa.Table.from_pandas(out, preserve_index=False)
+        # dtypes in Dataset.schema(), which downstream joins can't use;
+        # empty object columns must not degrade to null type
+        tbl = pa.Table.from_pandas(out, preserve_index=False)
+        if len(tbl) == 0:
+            cols = []
+            for f in tbl.schema:
+                t = pa.string() if pa.types.is_null(f.type) else f.type
+                cols.append(pa.array([], type=t))
+                tbl = pa.table(dict(zip(tbl.schema.names, cols)))
+        return tbl
 
     return (
         ds.map_batches(tag, batch_format="pyarrow")

@@ -19,6 +19,7 @@ import pyarrow as pa
 from stack_trace_deduplication_ray.config import DedupConfig
 from stack_trace_deduplication_ray.functions import codecs as C
 from stack_trace_deduplication_ray.functions import hashing as H
+from stack_trace_deduplication_ray.stages.joins import resolve_actors
 
 U64 = np.uint64
 
@@ -124,10 +125,10 @@ def signature_stage(images_ds, cfg: DedupConfig, has_image: bool = True):
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.image_batch_size if has_image else cfg.batch_size,
-        # autoscaling pool starting at 1 actor: a fixed pool of
-        # actor_concurrency x 1 CPU would reserve every slot of a small
-        # session and starve the read stage (deadlock)
-        concurrency=(1, cfg.actor_concurrency),
+        # autoscaling pool starting at 1 actor: a fixed pool sized to
+        # every CPU would starve the read stage (deadlock); the max
+        # scales with the cluster so big sessions actually use it
+        concurrency=(1, resolve_actors(cfg)),
         num_cpus=1,
     )
 
@@ -170,6 +171,6 @@ def text_signature_stage(docs_ds, cfg: DedupConfig):
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.batch_size,
-        concurrency=(1, cfg.actor_concurrency),
+        concurrency=(1, resolve_actors(cfg)),
         num_cpus=1,
     )

@@ -1,0 +1,104 @@
+"""Per-stage checkpointing with lineage manifest (resumable execution).
+
+Reference analog: day-indexed state pickles with nearest-earlier warmup
+(/root/reference/ea/sim/main/data/buckets/bucket_data.py:49-69) and the
+id->hash JSON persistence of HashStorage (ea/sim/main/data/duplicates.py:39-58)
+— recast as: each completed stage writes its (small) output table as
+partitioned parquet plus a manifest entry keyed by a FINGERPRINT of
+(config, stage, input). A resumed run with the same fingerprint skips
+the stage and reads the table; any config or input change invalidates
+exactly the affected stages.
+
+The checkpointed tables are the per-stage edge sets and the final
+clusters — tiny relative to the corpus, so checkpointing costs little
+and a crash never re-runs a finished candidate/verify stage.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import asdict
+
+from stack_trace_deduplication_ray.config import DedupConfig
+
+
+def config_fingerprint(cfg: DedupConfig, extra: str = "") -> str:
+    """Deterministic fingerprint of the dedup configuration (+ an
+    input identifier supplied by the caller)."""
+    import hashlib
+
+    payload = json.dumps(asdict(cfg), sort_keys=True, default=str) + "|" + extra
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+class StageCheckpoint:
+    """Directory-backed stage checkpoint store.
+
+    Layout:
+        <root>/manifest.json             {stage: {fingerprint, rows, ...}}
+        <root>/<stage>/part-*.parquet    the stage's output table
+    """
+
+    def __init__(self, root: str, fingerprint: str):
+        self.root = root
+        self.fingerprint = fingerprint
+        os.makedirs(root, exist_ok=True)
+        self._manifest_path = os.path.join(root, "manifest.json")
+        self._manifest = self._load_manifest()
+
+    def _load_manifest(self) -> dict:
+        if os.path.exists(self._manifest_path):
+            with open(self._manifest_path) as f:
+                return json.load(f)
+        return {}
+
+    def _store_manifest(self) -> None:
+        tmp = self._manifest_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(self._manifest, f, indent=1, sort_keys=True)
+        os.replace(tmp, self._manifest_path)
+
+    def has(self, stage: str) -> bool:
+        entry = self._manifest.get(stage)
+        return (
+            entry is not None
+            and entry.get("fingerprint") == self.fingerprint
+            and os.path.isdir(os.path.join(self.root, stage))
+        )
+
+    def load(self, stage: str):
+        import ray.data as rd
+
+        assert self.has(stage), f"no valid checkpoint for stage {stage!r}"
+        return rd.read_parquet(os.path.join(self.root, stage))
+
+    def save(self, stage: str, ds) -> None:
+        """Write the stage output (partitioned parquet) + manifest row.
+
+        The manifest row is written only after the parquet write
+        completes, so a crash mid-write leaves `has()` false and the
+        stage re-runs (at-least-once, idempotent)."""
+        path = os.path.join(self.root, stage)
+        if os.path.isdir(path):  # stale attempt from a crashed run
+            import shutil
+
+            shutil.rmtree(path)
+        ds.write_parquet(path)
+        self._manifest[stage] = {
+            "fingerprint": self.fingerprint,
+            "rows": ds.count(),
+            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+        }
+        self._store_manifest()
+
+    def run_or_load(self, stage: str, thunk):
+        """Execute `thunk()` (returning a Dataset) unless a valid
+        checkpoint exists; either way return a Dataset and record
+        lineage."""
+        if self.has(stage):
+            return self.load(stage), True
+        ds = thunk()
+        self.save(stage, ds)
+        return self.load(stage), False

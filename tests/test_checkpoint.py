@@ -1,0 +1,85 @@
+"""Checkpoint/resume: per-stage manifests, fingerprint invalidation,
+byte-identical resumed output (SURVEY.md §5.2 resume test)."""
+
+import json
+import os
+import shutil
+
+import pytest
+
+from stack_trace_deduplication_ray.config import DedupConfig
+from stack_trace_deduplication_ray.state.checkpoint import (
+    StageCheckpoint,
+    config_fingerprint,
+)
+
+
+def test_fingerprint_changes_with_config_and_input():
+    a = config_fingerprint(DedupConfig(), "in1")
+    b = config_fingerprint(DedupConfig(), "in2")
+    c = config_fingerprint(DedupConfig(shingle_k=7), "in1")
+    assert a != b and a != c
+    assert a == config_fingerprint(DedupConfig(), "in1")
+
+
+def test_run_or_load_roundtrip(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    ck = StageCheckpoint(str(tmp_path), "fp1")
+    calls = []
+
+    def thunk():
+        calls.append(1)
+        return rd.from_arrow(pa.table({"src": ["a"], "dst": ["b"]}))
+
+    ds1, loaded1 = ck.run_or_load("stage_x", thunk)
+    ds2, loaded2 = ck.run_or_load("stage_x", thunk)
+    assert not loaded1 and loaded2
+    assert len(calls) == 1
+    assert ds2.to_pandas().equals(ds1.to_pandas())
+    # manifest recorded
+    man = json.load(open(os.path.join(tmp_path, "manifest.json")))
+    assert man["stage_x"]["fingerprint"] == "fp1"
+    assert man["stage_x"]["rows"] == 1
+
+
+def test_fingerprint_mismatch_invalidates(ray_session, tmp_path):
+    import pyarrow as pa
+    import ray.data as rd
+
+    ck1 = StageCheckpoint(str(tmp_path), "fpA")
+    ck1.run_or_load(
+        "s", lambda: rd.from_arrow(pa.table({"v": [1]}))
+    )
+    ck2 = StageCheckpoint(str(tmp_path), "fpB")
+    assert not ck2.has("s")
+    _, loaded = ck2.run_or_load(
+        "s", lambda: rd.from_arrow(pa.table({"v": [2]}))
+    )
+    assert not loaded
+    assert ck2.load("s").to_pandas()["v"].tolist() == [2]
+
+
+def test_pipeline_resume_identical_clusters(ray_session, small_fixture_dir, tmp_path):
+    """Run the flagship with checkpoints; rerun; clusters identical and
+    stage tables loaded (not recomputed)."""
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.pipelines.dedup import run_dedup
+
+    images = rd.read_parquet(f"{small_fixture_dir}/images.parquet")
+    cfg = DedupConfig()
+    ckdir = str(tmp_path / "ck")
+    r1 = run_dedup(images, cfg, checkpoint_dir=ckdir, input_id="fix1k")
+    c1 = r1["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
+    man1 = json.load(open(os.path.join(ckdir, "manifest.json")))
+    assert set(man1) >= {"exact_caption", "exact_image", "minhash", "simhash",
+                         "substring"}
+    r2 = run_dedup(images, cfg, checkpoint_dir=ckdir, input_id="fix1k")
+    c2 = r2["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert c1.equals(c2)
+    man2 = json.load(open(os.path.join(ckdir, "manifest.json")))
+    # completed_at unchanged -> stages were loaded, not re-run
+    for k in man1:
+        assert man2[k]["completed_at"] == man1[k]["completed_at"]

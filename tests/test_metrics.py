@@ -1,0 +1,81 @@
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+
+from stack_trace_deduplication_ray.eval.metrics import (
+    bootstrap_ci,
+    dup_pair_metrics,
+    metrics_table,
+    ranking_metrics,
+)
+
+
+def test_dup_pair_metrics_perfect():
+    truth = pd.DataFrame(
+        {"image_id": ["a", "b", "c", "d"],
+         "cluster_id": ["a", "a", "c", "c"],
+         "dup_class": ["base", "exact", "base", "near_caption"]}
+    )
+    pred = truth[["image_id", "cluster_id"]]
+    m = dup_pair_metrics(pred, truth)
+    assert m["recall"] == 1.0 and m["precision"] == 1.0
+    assert m["truth_pairs"] == 2
+
+
+def test_dup_pair_metrics_partial():
+    truth = pd.DataFrame(
+        {"image_id": ["a", "b", "c"], "cluster_id": ["a", "a", "a"],
+         "dup_class": ["base", "exact", "exact"]}
+    )
+    pred = pd.DataFrame(
+        {"image_id": ["a", "b", "c"], "cluster_id": ["a", "a", "c"]}
+    )
+    m = dup_pair_metrics(pred, truth)
+    assert abs(m["recall"] - 1 / 3) < 1e-9
+    assert m["precision"] == 1.0
+
+
+def test_dup_pair_metrics_false_merge_hits_precision():
+    truth = pd.DataFrame(
+        {"image_id": ["a", "b"], "cluster_id": ["a", "b"],
+         "dup_class": ["base", "distractor"]}
+    )
+    pred = pd.DataFrame({"image_id": ["a", "b"], "cluster_id": ["a", "a"]})
+    m = dup_pair_metrics(pred, truth)
+    assert m["precision"] == 0.0
+
+
+def test_ranking_metrics(ray_session):
+    import ray.data as rd
+
+    preds = rd.from_arrow(
+        pa.table(
+            {
+                "query_id": ["q1"] * 3 + ["q2"] * 3,
+                "candidate_id": ["x", "y", "z", "x", "y", "z"],
+                "score": [0.9, 0.8, 0.1, 0.5, 0.9, 0.2],
+            }
+        )
+    )
+    truth = rd.from_arrow(
+        pa.table({"query_id": ["q1", "q2"], "target_id": ["x", "z"]})
+    )
+    m = ranking_metrics(preds, truth, ks=(1, 3))
+    assert m["acc@1"] == 0.5  # q1 hits at rank 1, q2 target ranks 3rd
+    assert m["acc@3"] == 1.0
+    assert abs(m["mrr"] - (1.0 + 1 / 3) / 2) < 1e-9
+
+
+def test_bootstrap_ci_brackets_mean():
+    rng = np.random.default_rng(0)
+    s = rng.normal(5.0, 1.0, 500)
+    mean, lo, hi = bootstrap_ci(s)
+    assert lo <= mean <= hi
+    assert hi - lo < 0.5
+
+
+def test_metrics_table_flattens():
+    t = metrics_table({"recall": 0.99, "per_class_recall": {"exact": 1.0}})
+    d = dict(zip(t.column("metric").to_pylist(), t.column("value").to_pylist()))
+    assert d == {"recall": 0.99, "per_class_recall/exact": 1.0}
