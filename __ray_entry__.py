@@ -33,12 +33,17 @@ def entry() -> Any:
 def queries() -> dict[str, Callable[[str], Any]]:
     from stack_trace_deduplication_ray.pipelines import (
         analysis,
+        dedup,
         relational,
         similarity,
         text,
     )
 
     return {
+        # --- flagship image+caption dedup (north_rule core) ----------
+        "image_dedup_clusters": dedup.image_dedup_clusters,
+        "image_dedup_recall": dedup.image_dedup_recall,
+        "image_feature_table": dedup.image_feature_table,
         # --- dedup over documents (SURVEY §2.6, north_rule core) -----
         "exact_dedup_keep_first": text.exact_dedup_keep_first,
         "corpus_stats": text.corpus_stats,
@@ -55,6 +60,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_top_value_per_type": relational.events_top_value_per_type,
         "events_daily_user_agg": relational.events_daily_user_agg,
         "users_first_event": relational.users_first_event,
+        "events_sessionize": relational.events_sessionize,
+        "systematic_sample": relational.systematic_sample,
+        "normalized_texts": relational.normalized_texts,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "segment_order_stats": relational.segment_order_stats,
         "top_orders_by_revenue": relational.top_orders_by_revenue,
@@ -139,6 +147,39 @@ def oracle_sql() -> dict[str, str]:
         "users_first_event": """
             SELECT user_id, arg_min(event_id, ts) AS first_event_id
             FROM events GROUP BY user_id
+        """,
+        "events_sessionize": """
+            WITH o AS (
+                SELECT user_id, event_id, ts,
+                       lag(ts) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS pts
+                FROM events
+            ),
+            marked AS (
+                SELECT user_id, event_id, ts,
+                       CASE WHEN pts IS NULL
+                                 OR ts - pts > INTERVAL 30 MINUTE
+                            THEN 1 ELSE 0 END AS new_s
+                FROM o
+            ),
+            sess AS (
+                SELECT user_id,
+                       sum(new_s) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS session_id
+                FROM marked
+            )
+            SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+                   count(*) AS n_events
+            FROM sess GROUP BY user_id, session_id
+        """,
+        "systematic_sample": """
+            SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
+        """,
+        "normalized_texts": """
+            SELECT doc_id,
+                   lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+                       AS text_norm
+            FROM documents
         """,
         "lineitem_pricing_summary": """
             SELECT l_returnflag, l_linestatus,

@@ -137,3 +137,64 @@ def metrics_table(d: dict) -> pa.Table:
             "value": pa.array([r[1] for r in rows], type=pa.float64()),
         }
     )
+
+
+def f_beta_sweep(
+    scores: np.ndarray, labels: np.ndarray, betas=(0.25, 0.5, 1.0, 2.0, 3.0)
+) -> dict:
+    """Best F-beta over every score threshold (reference: threshold
+    sweep with a running confusion matrix,
+    ea/sim/dev/evaluation/metrics/wrappers/f_beta/helpers.py:86-117).
+
+    labels: 1 = positive. Vectorized prefix scan over scores sorted
+    descending; threshold t predicts positive for score >= t.
+    Returns {f{beta}: best_f, f{beta}_threshold: t}.
+    """
+    scores = np.asarray(scores, dtype=np.float64)
+    labels = np.asarray(labels, dtype=np.int64)
+    order = np.argsort(-scores, kind="stable")
+    s = scores[order]
+    y = labels[order]
+    tp = np.cumsum(y)
+    fp = np.cumsum(1 - y)
+    fn = y.sum() - tp
+    out = {}
+    # only evaluate at the last index of each distinct score (the
+    # threshold boundary)
+    boundary = np.concatenate([s[1:] != s[:-1], [True]])
+    for beta in betas:
+        b2 = beta * beta
+        denom = (1 + b2) * tp + fp + b2 * fn
+        f = np.where(denom > 0, (1 + b2) * tp / np.maximum(denom, 1), 0.0)
+        f_at = f[boundary]
+        best = int(np.argmax(f_at))
+        out[f"f{beta}"] = float(f_at[best])
+        out[f"f{beta}_threshold"] = float(s[boundary][best])
+    return out
+
+
+def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
+    """ROC-AUC via the rank-sum (Mann-Whitney U) formulation — the
+    reference uses sklearn's roc_auc_score
+    (ea/sim/dev/evaluation/metrics/base/aggregate/roc_auc.py:7-16);
+    this is the same statistic without the dependency. Ties get
+    average ranks."""
+    scores = np.asarray(scores, dtype=np.float64)
+    labels = np.asarray(labels, dtype=np.int64)
+    n_pos = int(labels.sum())
+    n_neg = len(labels) - n_pos
+    if n_pos == 0 or n_neg == 0:
+        return float("nan")
+    order = np.argsort(scores, kind="stable")
+    ranks = np.empty(len(scores), dtype=np.float64)
+    ranks[order] = np.arange(1, len(scores) + 1)
+    # average ranks for ties
+    s_sorted = scores[order]
+    starts = np.concatenate([[0], np.nonzero(s_sorted[1:] != s_sorted[:-1])[0] + 1])
+    ends = np.concatenate([starts[1:], [len(scores)]])
+    for a, b in zip(starts, ends):  # loop over tie groups only
+        if b - a > 1:
+            ranks[order[a:b]] = (a + 1 + b) / 2.0
+    r_pos = ranks[labels == 1].sum()
+    u = r_pos - n_pos * (n_pos + 1) / 2.0
+    return float(u / (n_pos * n_neg))

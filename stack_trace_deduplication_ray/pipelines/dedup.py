@@ -190,3 +190,55 @@ def cluster_summary(clusters) -> pa.Table:
     t = hist.to_pandas()
     t.columns = ["cluster_size", "n_clusters"][: len(t.columns)]
     return pa.Table.from_pandas(t.sort_values("cluster_size"), preserve_index=False)
+
+
+def _fixture_rows_for_sf(sf_dir: str) -> int:
+    """Deterministic synthetic-images size per test scale factor."""
+    if "0.001" in sf_dir:
+        return 500
+    if "0.01" in sf_dir:
+        return 2000
+    return 8000
+
+
+def image_dedup_clusters(sf_dir: str):
+    """Flagship image+caption dedup over the deterministic synthetic
+    fixture sized by sf (queries() entry; rows-only driver check —
+    LSH/union-find is not SQL-expressible)."""
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.fixtures.images import materialize_fixture
+
+    d = materialize_fixture(_fixture_rows_for_sf(sf_dir), seed=42)
+    images = rd.read_parquet(f"{d}/images.parquet")
+    return run_dedup(images, DEFAULT_CONFIG)["clusters"]
+
+
+def image_dedup_recall(sf_dir: str):
+    """The recall gate as a queryable metrics table: flagship clusters
+    vs ground truth (BASELINE.json: dup-pair recall >= 0.99)."""
+    import pyarrow.parquet as pq
+
+    from stack_trace_deduplication_ray.eval.metrics import (
+        dup_pair_metrics,
+        metrics_table,
+    )
+    from stack_trace_deduplication_ray.fixtures.images import materialize_fixture
+
+    d = materialize_fixture(_fixture_rows_for_sf(sf_dir), seed=42)
+    clusters = image_dedup_clusters(sf_dir).to_pandas()
+    truth = pq.read_table(f"{d}/truth_clusters.parquet").to_pandas()
+    return metrics_table(dup_pair_metrics(clusters, truth))
+
+
+def image_feature_table(sf_dir: str):
+    """Multimodal image feature extraction (decode/resize/feature) over
+    the synthetic fixture (actor-pool stage; rows-only check)."""
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.fixtures.images import materialize_fixture
+    from stack_trace_deduplication_ray.stages.multimodal import image_features
+
+    d = materialize_fixture(_fixture_rows_for_sf(sf_dir), seed=42)
+    images = rd.read_parquet(f"{d}/images.parquet")
+    return image_features(images).drop_columns(["thumb"])

@@ -254,3 +254,61 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
         .sort(["revenue", "o_orderkey"], descending=[True, False])
         .limit(k)
     )
+
+
+def events_sessionize(sf_dir: str, gap_minutes: int = 30):
+    """Sessionization: per-user event stream split where the gap to
+    the previous event exceeds `gap_minutes` — the windowed/stateful
+    streaming-analog operator (reference: chronological replay with a
+    forget window, ea/sim/main/data/buckets/event_state_model.py:106-121
+    and issues_selector.py:31-48) expressed as a per-group vectorized
+    pass. Output (user_id, session_id, n_events)."""
+    ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
+
+    def sessions(group: pd.DataFrame) -> pd.DataFrame:
+        g = group.sort_values(["ts", "event_id"])
+        gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
+        sid = gap.cumsum().astype("int64") + 1
+        out = (
+            pd.DataFrame({"user_id": g["user_id"], "session_id": sid})
+            .groupby(["user_id", "session_id"], as_index=False)
+            .size()
+            .rename(columns={"size": "n_events"})
+        )
+        return out.astype(
+            {"user_id": "int64", "session_id": "int64", "n_events": "int64"}
+        )
+
+    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+
+
+def systematic_sample(sf_dir: str, modulus: int = 10):
+    """Deterministic systematic sample: doc_id % modulus == 0
+    (K6 sampling analog with an exactly SQL-matchable rule)."""
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(t: pa.Table) -> pa.Table:
+        ids = t.column("doc_id").to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % modulus == 0))
+
+    return ds.map_batches(fn, batch_format="pyarrow")
+
+
+def normalized_texts(sf_dir: str):
+    """Whitespace-collapsed lowercase text (M1/M3/M7 normalization
+    class). Output (doc_id, text_norm); formula mirrors the SQL
+    oracle: lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))."""
+    from stack_trace_deduplication_ray.stages.signatures import normalize_captions
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def fn(batch: pa.Table) -> pa.Table:
+        norm = normalize_captions(batch.column("text").to_pylist(), lowercase=True)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "text_norm": pa.array(norm, type=pa.string()),
+            }
+        )
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -79,3 +79,44 @@ def test_metrics_table_flattens():
     t = metrics_table({"recall": 0.99, "per_class_recall": {"exact": 1.0}})
     d = dict(zip(t.column("metric").to_pylist(), t.column("value").to_pylist()))
     assert d == {"recall": 0.99, "per_class_recall/exact": 1.0}
+
+
+def test_f_beta_sweep_perfect_separation():
+    from stack_trace_deduplication_ray.eval.metrics import f_beta_sweep
+
+    scores = np.array([0.9, 0.8, 0.2, 0.1])
+    labels = np.array([1, 1, 0, 0])
+    out = f_beta_sweep(scores, labels, betas=(1.0,))
+    assert out["f1.0"] == 1.0
+    assert out["f1.0_threshold"] == 0.8
+
+
+def test_f_beta_sweep_matches_bruteforce():
+    from stack_trace_deduplication_ray.eval.metrics import f_beta_sweep
+
+    rng = np.random.default_rng(1)
+    scores = rng.random(200)
+    labels = (scores + rng.normal(0, 0.3, 200) > 0.5).astype(int)
+    out = f_beta_sweep(scores, labels, betas=(1.0,))
+    best = 0.0
+    for t in np.unique(scores):
+        pred = scores >= t
+        tp = int((pred & (labels == 1)).sum())
+        fp = int((pred & (labels == 0)).sum())
+        fn = int((~pred & (labels == 1)).sum())
+        denom = 2 * tp + fp + fn
+        best = max(best, 2 * tp / denom if denom else 0.0)
+    assert abs(out["f1.0"] - best) < 1e-12
+
+
+def test_roc_auc_against_known_values():
+    from stack_trace_deduplication_ray.eval.metrics import roc_auc
+
+    assert roc_auc(np.array([0.1, 0.9]), np.array([0, 1])) == 1.0
+    assert roc_auc(np.array([0.9, 0.1]), np.array([0, 1])) == 0.0
+    assert roc_auc(np.array([0.5, 0.5]), np.array([0, 1])) == 0.5
+    rng = np.random.default_rng(2)
+    s = rng.random(500)
+    y = rng.integers(0, 2, 500)
+    # random scores -> AUC near 0.5
+    assert 0.4 < roc_auc(s, y) < 0.6
