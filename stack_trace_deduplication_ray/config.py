@@ -62,8 +62,8 @@ class DedupConfig:
     batch_size: int = 2048
     image_batch_size: int = 256   # binary payloads: small batches
     # Shuffle partitions for joins / bucket merges. 0 = resolve at
-    # runtime to 2x the cluster's CPUs (bounded below at 8); on a
-    # multi-node cluster set explicitly to ~2x total cores.
+    # runtime to the cluster CPU count (bounded below at 8); on a
+    # multi-node cluster set explicitly to ~1-2x total cores.
     num_partitions: int = 0
     # Actor-pool max size for stateful map stages. 0 = resolve at
     # runtime to (cluster CPUs - 2, min 2).

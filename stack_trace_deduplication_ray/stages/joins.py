@@ -49,7 +49,7 @@ def resolve_partitions(cfg: DedupConfig) -> int:
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(8, 2 * cpus)
+    return max(8, cpus)
 
 
 def _key_partition(keys, P: int) -> np.ndarray:
