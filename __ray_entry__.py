@@ -233,7 +233,8 @@ def oracle_sql() -> dict[str, str]:
                 ) AS rn FROM sims
             )
             SELECT count(*) AS n,
-                   sum(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END)
+                   CAST(sum(CASE WHEN cand_label = true_label
+                                 THEN 1 ELSE 0 END) AS BIGINT)
                        AS correct,
                    round(sum(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END)
                          * 1.0 / count(*), 4) AS accuracy

@@ -212,7 +212,7 @@ if __name__ == "__main__":
 
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "--scaling":
-        out = run_scaling(record="--record" in sys.argv or True)
+        out = run_scaling(record="--record" in sys.argv)
     elif mode == "--flagship-only":
         out = run_flagship_only()
     else:

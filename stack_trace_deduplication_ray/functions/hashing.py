@@ -169,10 +169,19 @@ def minhash_signatures(
         return sig
     starts = offsets[:-1]
     nonempty = np.diff(offsets) > 0
+    # Sentinel slot: a trailing _MASK64 makes every offsets[:-1] value a
+    # valid reduceat index (empty rows have starts[i] == len(hashes)),
+    # so no clamping — clamping shortened the preceding non-empty row's
+    # segment whenever empty rows followed it in the batch, making
+    # signatures batch-composition-dependent (regression-tested in
+    # tests/test_hashing.py).
+    vbuf = np.empty(len(hashes) + 1, dtype=U64)
+    vbuf[-1] = _MASK64
     with np.errstate(**_ERR):
         for p in range(num_perm):  # num_perm passes, each fully vectorized
-            v = (hashes * a[p] + b[p]) & _MASK64
-            m = np.minimum.reduceat(v, np.minimum(starts, len(v) - 1))
+            np.multiply(hashes, a[p], out=vbuf[:-1])
+            vbuf[:-1] += b[p]
+            m = np.minimum.reduceat(vbuf, starts)
             sig[nonempty, p] = m[nonempty]
     return sig
 

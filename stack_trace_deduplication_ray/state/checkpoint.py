@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import time
 from dataclasses import asdict
 
@@ -47,6 +48,10 @@ class StageCheckpoint:
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "manifest.json")
         self._manifest = self._load_manifest()
+        # save() is called from concurrent stage-chain threads
+        # (pipelines/dedup.build_edges); guard manifest mutation +
+        # serialization so a dump never races a concurrent insert.
+        self._lock = threading.Lock()
 
     def _load_manifest(self) -> dict:
         if os.path.exists(self._manifest_path):
@@ -86,12 +91,14 @@ class StageCheckpoint:
 
             shutil.rmtree(path)
         ds.write_parquet(path)
-        self._manifest[stage] = {
-            "fingerprint": self.fingerprint,
-            "rows": ds.count(),
-            "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
-        }
-        self._store_manifest()
+        rows = ds.count()
+        with self._lock:
+            self._manifest[stage] = {
+                "fingerprint": self.fingerprint,
+                "rows": rows,
+                "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
+            }
+            self._store_manifest()
 
     def run_or_load(self, stage: str, thunk):
         """Execute `thunk()` (returning a Dataset) unless a valid

@@ -76,6 +76,24 @@ def test_minhash_empty_rows_never_collide_in_bands():
     assert (sig == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
 
 
+def test_minhash_signature_batch_composition_independent():
+    # Regression: a non-empty row followed by empty rows in the same
+    # batch must get the SAME signature as when batched alone (the old
+    # reduceat index clamp silently dropped the last shingle hash of
+    # the final non-empty row whenever empty rows trailed it).
+    a, b = H.minhash_params(128, 17)
+    for text in ["hello world, a nice day", "ab"]:
+        hs1, o1 = H.shingle_hashes([text], 5)
+        sig_alone = H.minhash_signatures(hs1, o1, a, b)
+        hs2, o2 = H.shingle_hashes([text, "", ""], 5)
+        sig_mixed = H.minhash_signatures(hs2, o2, a, b)
+        assert np.array_equal(sig_alone[0], sig_mixed[0]), text
+        # and with an empty row in front as well
+        hs3, o3 = H.shingle_hashes(["", text, ""], 5)
+        sig_mid = H.minhash_signatures(hs3, o3, a, b)
+        assert np.array_equal(sig_alone[0], sig_mid[1]), text
+
+
 def test_band_keys_shape_and_identity():
     hs, offs = H.shingle_hashes(["hello world, nice day", "hello world, nice day"], 5)
     a, b = H.minhash_params(128, 0)
