@@ -70,6 +70,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_brute_force": similarity.knn_brute_force,
         "same_label_near_pairs": similarity.same_label_near_pairs,
         "lsh_near_pairs": similarity.lsh_near_pairs,
+        "ann_recall": similarity.ann_recall,
         "knn_label_accuracy": similarity.knn_label_accuracy,
     }
 
@@ -246,6 +247,6 @@ def oracle_sql() -> dict[str, str]:
                        AS cos
             FROM embeddings a JOIN embeddings b
               ON a.label = b.label AND a.vec_id < b.vec_id
-            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.8
+            WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
     }

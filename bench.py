@@ -86,6 +86,9 @@ def bench_image_dedup(n_rows: int) -> tuple[float, int]:
         materialize_fixture_sharded,
     )
     from stack_trace_deduplication_ray.pipelines.dedup import run_dedup
+    from stack_trace_deduplication_ray.sources.tables import tune_data_context
+
+    tune_data_context()
 
     import ray
 

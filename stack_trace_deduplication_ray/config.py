@@ -57,6 +57,11 @@ class DedupConfig:
     # Capped buckets are logged, never silently dropped.
     bucket_cap: int = 64
     salt_target: int = 32
+    # Hot-bucket detection sampling: rows are hash-sampled at rate
+    # 1/hot_sample_mod for the (shuffle-free) bucket-size estimate.
+    # 0 = default (16); 1 = exact counts (tests). Raise with corpus
+    # size (~rows/1e5) to bound the driver-side merge.
+    hot_sample_mod: int = 0
 
     # --- execution ----------------------------------------------------
     batch_size: int = 2048

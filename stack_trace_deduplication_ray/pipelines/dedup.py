@@ -3,19 +3,32 @@
 Lifecycle (SURVEY.md §3.4, restructured for scale):
 
     read -> signatures (actor map_batches; bytes projected away)
-         -> representative collapse: identical captions / identical
-            payloads shrink to one rep each (one groupby per axis);
-            the collapse edges are exact-dup edges needing no verify,
-            and ALL sketch stages then run on unique content only —
-            this removes identical-content skew at the root (the
-            boilerplate caption becomes one rep) and cuts candidate
-            volume by the duplication factor
-         -> per-family bucket expansion on reps (minhash / simhash /
-            substring), salted groupby -> candidate edges
-         -> per-stage candidate dedup (bands/chunks emit the same pair
-            many times) -> verify (exact Jaccard / PSNR / L-gram)
-         -> union -> canonical edge dedup
+         -> DUAL-AXIS representative collapse in ONE shuffle
+            (candidates.collapse_dual): identical captions / identical
+            payloads shrink to one rep each; the collapse edges are
+            exact-dup edges needing no verify, and ALL sketch stages
+            then run on unique content only — this removes
+            identical-content skew at the root (the boilerplate
+            caption becomes one rep) and cuts candidate volume by the
+            duplication factor
+         -> FUSED candidate generation in ONE shuffle
+            (candidates.fused_pairs_from_buckets): minhash / simhash /
+            substring expansions tagged into disjoint key spaces,
+            sampled hot-bucket detection (no count shuffle), salted
+            groupby emitting per-stage pair semantics
+         -> FUSED verify (verify.verify_fused): one feature-attachment
+            join pair for all stages, per-batch kernel dispatch
+            (exact Jaccard / PSNR / L-gram); candidate dedup on
+            (src, dst, stage) folded into the first join
+         -> union with exact edges -> canonical edge dedup
          -> connected components -> clusters (+ stats)
+
+The fusion matters because concurrent Dataset executions SERIALIZE in
+Ray's streaming executor (measured: three chains in driver threads run
+exactly as long as sequentially) — so per-stage chains each paying
+their own shuffles cost 3x the exchanges of one fused pass. Total
+all-to-all count per run: collapse 1, candidates 1, verify 2, edge
+dedup 1 = 5 (was ~12).
 
 Semantic note: collapsing by identical caption (resp. identical
 payload bytes) is equivalent to running the sketch stages on every
@@ -23,9 +36,9 @@ row, because identical captions always pass the Jaccard verify (J=1)
 and identical bytes always pass Hamming+PSNR (d=0, PSNR=inf); the
 collapse edges encode exactly those guaranteed-verified pairs.
 
-Every intermediate is a streaming ``ray.data.Dataset``; only edge sets
-(small relative to the corpus) are materialized (checkpoint
-boundaries).
+Every intermediate is a streaming ``ray.data.Dataset``; only the
+annotated collapse table, the verified edge set and the final edges
+(all small relative to the corpus) are materialized.
 """
 
 from __future__ import annotations
@@ -48,13 +61,14 @@ logger = logging.getLogger(__name__)
 
 
 def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
-    """Run the enabled candidate+verify stages, union the edges.
+    """Run the fused collapse + candidate + verify phases, union the
+    edges.
 
     Returns (edges, stats). `sigs` must be materialized. `ckpt` is an
-    optional state.checkpoint.StageCheckpoint: each stage's verified
-    edge set is persisted and a resumed run skips completed stages.
+    optional state.checkpoint.StageCheckpoint persisting the exact and
+    verified edge sets; run_dedup short-circuits the whole build
+    (including signature computation) when both are valid.
     """
-    edge_sets = []
     stats = []
     stages = cfg.stages if has_image else tuple(
         s for s in cfg.stages if s != "simhash"
@@ -68,74 +82,51 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
             logger.info("stage %s: loaded from checkpoint", name)
         return ds
 
-    # ---- representative collapse (exact dedup per axis) --------------
-    cap_edges, cap_reps = cand.collapse_by(sigs, "caption_hash", "exact_caption")
-    edge_sets.append(
-        checkpointed("exact_caption", lambda: cap_edges.materialize())
-    )
-    cap_reps = cap_reps.materialize()
+    # ---- dual-axis representative collapse (one shuffle) -------------
+    axes = [
+        ("caption_hash", "exact_caption",
+         ["caption_norm", "minhash_sig", "n_shingles"]),
+    ]
     if has_image:
-        img_edges, img_reps = cand.collapse_by(sigs, "image_hash", "exact_image")
-        edge_sets.append(
-            checkpointed("exact_image", lambda: img_edges.materialize())
-        )
-        img_reps = img_reps.materialize()
+        axes.append(("image_hash", "exact_image", ["simhash"]))
+    exact_edges, reps = cand.collapse_dual(sigs, axes, cfg)
+    exact_edges = checkpointed("exact_edges", lambda: exact_edges)
+    cap_reps = reps["exact_caption"]
+    img_reps = reps.get("exact_image")
 
-    # ---- sketch stages over unique content ---------------------------
-    # Candidate-pair dedup (bands/chunks emit the same pair many
-    # times) is folded into each verify's first feature join
-    # (dedup_pairs=True). The three independent stage chains execute
-    # CONCURRENTLY in driver threads — each chain is a sequence of
-    # barriers, and overlapping them hides the fixed per-op latency.
-    from concurrent.futures import ThreadPoolExecutor
-
-    def run_minhash():
-        def thunk():
-            e, st = cand.pairs_from_buckets(
-                ex.expand_minhash(cap_reps, cfg), "minhash", cfg
-            )
-            run_minhash.stats = st
-            return ver.verify_minhash(e.materialize(), cap_reps, cfg).materialize()
-
-        return checkpointed("minhash", thunk), getattr(run_minhash, "stats", {"stage": "minhash"})
-
-    def run_simhash():
-        def thunk():
-            e, st = cand.simhash_pairs_from_buckets(
-                ex.expand_simhash(img_reps, cfg), "simhash", cfg
-            )
-            run_simhash.stats = st
-            return ver.verify_simhash_psnr(e.materialize(), img_reps, cfg).materialize()
-
-        return checkpointed("simhash", thunk), getattr(run_simhash, "stats", {"stage": "simhash"})
-
-    def run_substring():
-        def thunk():
-            e, st = cand.pairs_from_buckets(
-                ex.expand_substring(cap_reps, cfg), "substring", cfg
-            )
-            run_substring.stats = st
-            return ver.verify_substring(e.materialize(), cap_reps, cfg).materialize()
-
-        return checkpointed("substring", thunk), getattr(run_substring, "stats", {"stage": "substring"})
-
-    chains = []
+    # ---- fused sketch stages over unique content (one candidate
+    # shuffle + one verify join pair for ALL stages) -------------------
+    expansions = []
     if "minhash" in stages:
-        chains.append(run_minhash)
+        expansions.append(
+            (cap_reps, lambda s: ex.expand_minhash(s, cfg), "minhash")
+        )
     if "simhash" in stages and has_image:
-        chains.append(run_simhash)
+        expansions.append(
+            (img_reps, lambda s: ex.expand_simhash(s, cfg), "simhash")
+        )
     if "substring" in stages:
-        chains.append(run_substring)
-    if chains:
-        with ThreadPoolExecutor(max_workers=len(chains)) as pool:
-            for edges_i, st in pool.map(lambda f: f(), chains):
-                edge_sets.append(edges_i)
-                stats.append(st)
+        expansions.append(
+            (cap_reps, lambda s: ex.expand_substring(s, cfg), "substring")
+        )
 
-    edges = edge_sets[0]
-    for e in edge_sets[1:]:
-        edges = edges.union(e)
-    return cand.dedup_edges(edges), stats
+    if expansions:
+        def thunk():
+            cand_edges, st = cand.fused_pairs_from_buckets(expansions, cfg)
+            thunk.stats = st
+            # candidate edges are small (pairs, not rows) — materialize
+            # so the verify graph does not re-execute the expansion +
+            # pair shuffle lineage
+            return ver.verify_fused(
+                cand_edges.materialize(), sigs, cfg, has_image
+            ).materialize()
+
+        verified = checkpointed("verified_edges", thunk)
+        stats.append(getattr(thunk, "stats", {"stage": "fused"}))
+        edges = exact_edges.union(verified)
+    else:
+        edges = exact_edges
+    return cand.dedup_edges(edges, cfg), stats
 
 
 def run_dedup(
@@ -155,6 +146,9 @@ def run_dedup(
     keyed by fingerprint(config, input_id); a rerun with the same
     fingerprint skips completed stages (SURVEY.md §4.3).
     """
+    from stack_trace_deduplication_ray.sources.tables import tune_data_context
+
+    tune_data_context()
     ckpt = None
     if checkpoint_dir is not None:
         from stack_trace_deduplication_ray.state.checkpoint import (
@@ -165,17 +159,32 @@ def run_dedup(
         ckpt = StageCheckpoint(
             checkpoint_dir, config_fingerprint(cfg, input_id)
         )
-    sigs = (
-        signature_stage(images_ds, cfg)
-        if has_image
-        else text_signature_stage(images_ds, cfg)
+    if (
+        ckpt is not None
+        and ckpt.has("exact_edges")
+        and ckpt.has("verified_edges")
+    ):
+        # full resume: every edge set is checkpointed — skip signature
+        # computation entirely (cluster ids come from the input table)
+        logger.info("resume: loading all edge sets from checkpoint")
+        edges = cand.dedup_edges(
+            ckpt.load("exact_edges").union(ckpt.load("verified_edges")), cfg
+        ).materialize()
+        stats = []
+    else:
+        sigs = (
+            signature_stage(images_ds, cfg)
+            if has_image
+            else text_signature_stage(images_ds, cfg)
+        )
+        # signatures are re-read by several stages — materialize once
+        # (bytes are NOT in this table).
+        sigs = sigs.materialize()
+        edges, stats = build_edges(images_ds, sigs, cfg, has_image, ckpt=ckpt)
+        edges = edges.materialize()
+    clusters = cc_mod.assign_clusters(
+        images_ds.select_columns(["image_id"]), edges, cfg
     )
-    # signatures are re-read by several stages — materialize once
-    # (bytes are NOT in this table).
-    sigs = sigs.materialize()
-    edges, stats = build_edges(images_ds, sigs, cfg, has_image, ckpt=ckpt)
-    edges = edges.materialize()
-    clusters = cc_mod.assign_clusters(sigs, edges, cfg)
     return {"clusters": clusters, "edges": edges, "stats": stats}
 
 

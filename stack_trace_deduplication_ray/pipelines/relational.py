@@ -19,16 +19,26 @@ from stack_trace_deduplication_ray.sources.tables import read_table
 def events_top_value_per_type(sf_dir: str, k: int = 10):
     """Top-k events by value per event_type (per-group sort + head —
     reference: per-query ranked truncation, eval_fast.py:95-96 and
-    ranking_model.py:52,74). Output (event_type, event_id, value)."""
+    ranking_model.py:52,74). Output (event_type, event_id, value).
+
+    Groups are processed at PARTITION granularity (one vectorized
+    pandas groupby-head per partition, not one Python call per type)."""
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.stages.joins import partitioned_groups
+
     ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "value"])
 
-    def topk(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(
-            ["value", "event_id"], ascending=[False, True]
-        ).head(k)
-        return g[["event_type", "event_id", "value"]]
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            ["event_type", "value", "event_id"],
+            ascending=[True, False, True],
+            kind="stable",
+        )
+        return g.groupby("event_type", sort=False).head(k)[
+            ["event_type", "event_id", "value"]
+        ]
 
-    return ds.groupby("event_type").map_groups(topk, batch_format="pandas")
+    return partitioned_groups(ds, "event_type", topk, DedupConfig())
 
 
 def events_daily_user_agg(sf_dir: str):
@@ -75,10 +85,14 @@ def users_first_event(sf_dir: str):
     """Keep-first per user: the earliest event (exact-dedup keep-first
     semantics on the time axis — reference chronological 'earlier
     report wins', issue.py:13-22). Output (user_id, first_event_id)."""
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.stages.joins import partitioned_groups
+
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def first(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"]).head(1)
+    def first(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        g = g.groupby("user_id", sort=False, as_index=False).head(1)
         return pd.DataFrame(
             {
                 "user_id": g["user_id"].values,
@@ -86,7 +100,7 @@ def users_first_event(sf_dir: str):
             }
         )
 
-    return ds.groupby("user_id").map_groups(first, batch_format="pandas")
+    return partitioned_groups(ds, "user_id", first, DedupConfig())
 
 
 def lineitem_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"):
@@ -203,11 +217,16 @@ def segment_order_stats(sf_dir: str):
 
 
 def top_orders_by_revenue(sf_dir: str, k: int = 10):
-    """Top-k orders by lineitem revenue (multi-table: lineitem grouped,
-    then broadcast order dates). Output (o_orderkey, revenue,
-    o_orderdate), revenue rounded 4, global sort + limit."""
+    """Top-k orders by lineitem revenue (multi-table). `orders` is a
+    FACT table — never collected to the driver: the order dates are
+    attached with a partitioned hash join (stages.joins.join_ds), then
+    a global sort + limit. Output (o_orderkey, revenue, o_orderdate),
+    revenue rounded 4."""
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.stages.joins import join_ds
 
     li = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
@@ -229,14 +248,11 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
     )
 
     orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
-    date_map = dict(
-        zip(*(orders.to_pandas()[c] for c in ["o_orderkey", "o_orderdate"]))
+    joined = join_ds(
+        per_order, orders, "l_orderkey", "o_orderkey", DedupConfig()
     )
-    ref = ray.put(date_map)
 
-    def attach(batch: pa.Table) -> pa.Table:
-        m = ray.get(ref)
-        keys = batch.column("l_orderkey").to_pylist()
+    def finish(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
                 "o_orderkey": batch.column("l_orderkey"),
@@ -245,12 +261,12 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
                         batch.column("revenue").to_numpy(zero_copy_only=False), 4
                     )
                 ),
-                "o_orderdate": pa.array([m.get(kk) for kk in keys]),
+                "o_orderdate": batch.column("o_orderdate"),
             }
         )
 
     return (
-        per_order.map_batches(attach, batch_format="pyarrow")
+        joined.map_batches(finish, batch_format="pyarrow")
         .sort(["revenue", "o_orderkey"], descending=[True, False])
         .limit(k)
     )
@@ -261,14 +277,23 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     the previous event exceeds `gap_minutes` — the windowed/stateful
     streaming-analog operator (reference: chronological replay with a
     forget window, ea/sim/main/data/buckets/event_state_model.py:106-121
-    and issues_selector.py:31-48) expressed as a per-group vectorized
-    pass. Output (user_id, session_id, n_events)."""
+    and issues_selector.py:31-48) expressed as ONE vectorized pass per
+    hash partition (no per-user Python call): sort by (user, ts), mark
+    session starts at user changes OR gap > threshold, global cumsum,
+    re-base per user. Output (user_id, session_id, n_events)."""
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.stages.joins import partitioned_groups
+
     ds = read_table(sf_dir, "events", columns=["event_id", "user_id", "ts"])
 
-    def sessions(group: pd.DataFrame) -> pd.DataFrame:
-        g = group.sort_values(["ts", "event_id"])
+    def sessions(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["user_id", "ts", "event_id"], kind="stable")
+        new_user = g["user_id"].ne(g["user_id"].shift())
         gap = g["ts"].diff() > pd.Timedelta(minutes=gap_minutes)
-        sid = gap.cumsum().astype("int64") + 1
+        new_s = new_user | gap
+        gsid = new_s.cumsum()  # global session counter
+        base = gsid.groupby(g["user_id"].values).transform("min")
+        sid = (gsid - base + 1).astype("int64")
         out = (
             pd.DataFrame({"user_id": g["user_id"], "session_id": sid})
             .groupby(["user_id", "session_id"], as_index=False)
@@ -279,7 +304,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
             {"user_id": "int64", "session_id": "int64", "n_events": "int64"}
         )
 
-    return ds.groupby("user_id").map_groups(sessions, batch_format="pandas")
+    return partitioned_groups(ds, "user_id", sessions, DedupConfig())
 
 
 def systematic_sample(sf_dir: str, modulus: int = 10):

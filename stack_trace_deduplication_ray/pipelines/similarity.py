@@ -69,7 +69,7 @@ def knn_brute_force(sf_dir: str, query_vec_id: int = 0, k: int = 10):
     )
 
 
-def same_label_near_pairs(sf_dir: str, threshold: float = 0.8):
+def same_label_near_pairs(sf_dir: str, threshold: float = 0.4):
     """Exact cosine pairs >= threshold within each label group
     (all-with-all inside map_groups; group sizes are bounded).
     Output (src, dst, cos) with src < dst, cos rounded 4."""
@@ -126,70 +126,223 @@ class HyperplaneLSH:
         )
 
 
-def lsh_near_pairs(sf_dir: str, threshold: float = 0.8, n_bits: int = 12):
-    """Approximate near-dup pairs: hyperplane-LSH buckets -> within-
-    bucket exact cosine verify. Output (src, dst, cos) rounded 4.
-    Approximate (recall < 1 by design) -> rows-only driver check."""
+def lsh_near_pairs(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_bits: int = 4,
+    n_tables: int = 16,
+    bucket_cap: int = 2000,
+):
+    """Approximate near-dup pairs, fully distributed: hyperplane-LSH
+    buckets -> within-bucket candidate pairs (partition-granularity
+    group processing) -> vector attachment via TWO partitioned hash
+    joins (pair dedup folded into the first) -> vectorized rowwise
+    cosine. The embedding matrix is NEVER pulled to the driver.
+
+    (n_bits, n_tables) are tuned to the threshold: P(bit agrees) =
+    1 - arccos(cos)/pi, so at cos=0.4 a 4-bit table matches with
+    p~0.16 and 16 tables give ~0.94 expected candidate recall
+    (measured by the ann_recall query). Buckets larger than
+    `bucket_cap` are truncated WITH A LOG LINE (never silently).
+
+    Output (src, dst, cos) rounded 4, src < dst. Approximate ->
+    rows-only driver check; ann_recall quantifies it.
+    """
+    import logging
+
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.stages.joins import (
+        join_ds,
+        partitioned_groups,
+    )
+
+    logger = logging.getLogger(__name__)
+    cfg = DedupConfig()
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     first = next(iter(ds.limit(1).iter_batches(batch_size=1, batch_format="pyarrow")))
     dim = len(first.column("embedding")[0])
 
-    emb = ds.materialize()
-    buckets = emb.map_batches(
+    buckets = ds.map_batches(
         HyperplaneLSH,
-        fn_constructor_args=(dim, n_bits),
+        fn_constructor_args=(dim, n_bits, n_tables),
         batch_format="pyarrow",
         batch_size=4096,
         concurrency=(1, 4),
         num_cpus=1,
     )
 
-    # pull vectors into a broadcast map for the verify step (embeddings
-    # table is the small side here; at scale this becomes the engine's
-    # feature-attachment join instead)
+    def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        keys = part["bucket"].to_numpy()
+        ids = part["vec_id"].to_numpy()
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate([[0], change]) if len(keys) else np.empty(0, int)
+        ends = np.concatenate([change, [len(keys)]]) if len(keys) else starts
+        src_all, dst_all = [], []
+        for s, e in zip(starts, ends):
+            g = np.unique(ids[s:e])
+            if len(g) < 2:
+                continue
+            if len(g) > bucket_cap:
+                logger.warning(
+                    "lsh_near_pairs: bucket of %d capped to %d "
+                    "(raise bucket_cap or n_bits)", len(g), bucket_cap,
+                )
+                g = g[:bucket_cap]
+            i, j = np.triu_indices(len(g), k=1)
+            src_all.append(g[i])
+            dst_all.append(g[j])
+        if not src_all:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype="int64"),
+                 "dst": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(src_all).astype(np.int64),
+                "dst": np.concatenate(dst_all).astype(np.int64),
+            }
+        )
+
+    pairs = partitioned_groups(buckets, "bucket", emit_pairs, cfg)
+
+    # vector attachment: (src, dst) x embeddings, dedup folded into the
+    # first join; keys are cast to string inside join_ds
+    def ren(suffix):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "__vid" + suffix: batch.column("vec_id").cast(pa.string()),
+                    "emb" + suffix: batch.column("embedding"),
+                }
+            )
+
+        return fn
+
+    emb_src = ds.map_batches(ren("_src"), batch_format="pyarrow")
+    emb_dst = ds.map_batches(ren("_dst"), batch_format="pyarrow")
+
+    def key_str(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "src": batch.column("src").cast(pa.string()),
+                "dst": batch.column("dst").cast(pa.string()),
+            }
+        )
+
+    pairs_s = pairs.map_batches(key_str, batch_format="pyarrow")
+    j1 = join_ds(
+        pairs_s, emb_src, "src", "__vid_src", cfg,
+        dedup_left=["src", "dst"],
+    )
+    j2 = join_ds(j1, emb_dst, "dst", "__vid_dst", cfg)
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {"src": pa.array([], type=pa.int64()),
+                 "dst": pa.array([], type=pa.int64()),
+                 "cos": pa.array([], type=pa.float64())}
+            )
+        a = np.stack(
+            batch.column("emb_src").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        b = np.stack(
+            batch.column("emb_dst").to_numpy(zero_copy_only=False)
+        ).astype(np.float64)
+        a = a / np.maximum(np.linalg.norm(a, axis=1, keepdims=True), 1e-12)
+        b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
+        cos = np.sum(a * b, axis=1)
+        keep = cos >= threshold
+        src = np.asarray(batch.column("src").to_pylist())[keep].astype(np.int64)
+        dst = np.asarray(batch.column("dst").to_pylist())[keep].astype(np.int64)
+        return pa.table(
+            {
+                "src": pa.array(src),
+                "dst": pa.array(dst),
+                "cos": pa.array(np.round(cos[keep], 4)),
+            }
+        )
+
+    return ensure_schema(
+        j2.map_batches(score, batch_format="pyarrow"),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("cos", pa.float64())]),
+    )
+
+
+def ann_recall(sf_dir: str, threshold: float = 0.4):
+    """Candidate recall of the LSH path vs the exact threshold join:
+    |LSH pairs| / |exact pairs| at the same threshold (the reference's
+    retrieval-quality evaluation shape applied to the ANN stage).
+    Output one row (n_exact, n_lsh, n_hit, recall rounded 4);
+    rows-only driver check (the LSH side is probabilistic by design,
+    seeded -> deterministic per config)."""
+    exact = {
+        (int(r["src"]), int(r["dst"]))
+        for r in all_near_pairs_exact(sf_dir, threshold).to_pylist()
+    }
+    lsh = {
+        (int(r["src"]), int(r["dst"]))
+        for b in lsh_near_pairs(sf_dir, threshold).iter_batches(
+            batch_size=65536, batch_format="pyarrow"
+        )
+        for r in b.to_pylist()
+    }
+    hit = len(exact & lsh)
+    return pa.table(
+        {
+            "n_exact": pa.array([len(exact)], type=pa.int64()),
+            "n_lsh": pa.array([len(lsh)], type=pa.int64()),
+            "n_hit": pa.array([hit], type=pa.int64()),
+            "recall": pa.array(
+                [round(hit / len(exact), 4) if exact else 1.0],
+                type=pa.float64(),
+            ),
+        }
+    )
+
+
+def all_near_pairs_exact(sf_dir: str, threshold: float = 0.4):
+    """EXACT all-pairs cosine >= threshold over the embeddings table:
+    each batch scores against the broadcast normalized matrix (the
+    brute-force baseline the ANN path is measured against). Output
+    (src, dst, cos) with src < dst, rounded 4."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     ids_all, mats = [], []
-    for b in emb.iter_batches(batch_size=8192, batch_format="pyarrow"):
+    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
         i, m = _emb_matrix(b)
         ids_all.append(i)
         mats.append(m)
     all_ids = np.concatenate(ids_all)
-    all_mat = np.concatenate(mats)
-    all_mat = all_mat / np.maximum(
-        np.linalg.norm(all_mat, axis=1, keepdims=True), 1e-12
-    )
     order = np.argsort(all_ids)
-    lookup_ref = ray.put((all_ids[order], all_mat[order]))
+    all_ids = all_ids[order]
+    mat = np.concatenate(mats)[order]
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((all_ids, mat))
 
-    def pairs(group: pd.DataFrame) -> pd.DataFrame:
-        ids = np.unique(group["vec_id"].to_numpy())
-        if len(ids) < 2:
-            return pd.DataFrame(
-                {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64"),
-                 "cos": pd.Series(dtype="float64")}
-            )
-        key_ids, mat = ray.get(lookup_ref)
-        rows = mat[np.searchsorted(key_ids, ids)]
-        sims = rows @ rows.T
-        i, j = np.triu_indices(len(ids), k=1)
-        cos = sims[i, j]
-        keep = cos >= threshold
-        return pd.DataFrame(
+    def score(batch: pa.Table) -> pa.Table:
+        key_ids, m = ray.get(ref)
+        ids, q = _emb_matrix(batch)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        sims = qn @ m.T
+        keep = sims >= threshold
+        # upper triangle only: src < dst by vec_id
+        rows, cols = np.nonzero(keep)
+        src = ids[rows]
+        dst = key_ids[cols]
+        sel = src < dst
+        return pa.table(
             {
-                "src": ids[i][keep].astype(np.int64),
-                "dst": ids[j][keep].astype(np.int64),
-                "cos": np.round(cos[keep], 4),
+                "src": pa.array(src[sel].astype(np.int64)),
+                "dst": pa.array(dst[sel].astype(np.int64)),
+                "cos": pa.array(np.round(sims[rows, cols][sel], 4)),
             }
         )
 
-    out = buckets.groupby("bucket").map_groups(pairs, batch_format="pandas")
-
-    # canonical pair dedup across tables/buckets
-    def first_row(group: pd.DataFrame) -> pd.DataFrame:
-        return group.head(1)
-
-    return ensure_schema(
-        out.groupby(["src", "dst"]).map_groups(first_row, batch_format="pandas"),
-        pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("cos", pa.float64())]),
+    out = ds.map_batches(score, batch_format="pyarrow")
+    return pa.Table.from_pandas(
+        out.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True),
+        preserve_index=False,
     )
 
 

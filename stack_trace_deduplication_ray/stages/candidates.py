@@ -8,9 +8,18 @@ duplicate-candidate edges.
 Skew handling (SURVEY.md §4.2, north_rule "explicit salting for skewed
 LSH buckets") is two-phase:
 
-  phase A: ``groupby(bucket).count()`` -> hot-key table (only buckets
-           with > cap members; tiny by construction), collected to the
-           driver and broadcast via ``ray.put``.
+  phase A: SAMPLED hot-bucket detection — a shuffle-free map pass
+           hash-samples rows at rate 1/hot_sample_mod, counts sampled
+           buckets per batch (vectorized np.unique), and the driver
+           merges the small partial-count tables; estimated count =
+           sampled x mod. No full ``groupby(bucket).count()`` exchange
+           (that pass doubled each stage's shuffle volume). Buckets
+           whose estimate clears the cap are salted; a hot bucket the
+           sample misses (only possible near the cap) degrades to the
+           in-partition chain fallback of phase B — connectivity
+           identical, just fewer redundant edges. At larger corpus
+           sizes raise ``hot_sample_mod`` proportionally (mod ~
+           rows/1e5) so the driver-side merge stays O(#hot + noise).
   phase B: the expansion re-keys hot rows to ``(bucket, salt)``
            sub-buckets of ~``salt_target`` members each; sub-buckets
            emit all-pairs edges internally, and a second tiny shuffle
@@ -62,16 +71,22 @@ EDGE_SCHEMA = pa.schema(
 )
 
 
-def _edges_table(src, dst, stage: str) -> pa.Table:
+def _edges_table(src, dst, stage) -> pa.Table:
     """Canonical edges Arrow table with the declared schema (explicit
     types even when empty — empty pandas object columns would degrade
-    to Arrow null type and poison downstream schema unification)."""
+    to Arrow null type and poison downstream schema unification).
+    `stage` is one label for all rows or a per-row array."""
     n = len(src)
+    stage_arr = (
+        pa.array([stage] * n, type=pa.string())
+        if isinstance(stage, str)
+        else pa.array(list(stage), type=pa.string())
+    )
     return pa.table(
         {
             "src": pa.array(list(src), type=pa.string()),
             "dst": pa.array(list(dst), type=pa.string()),
-            "stage": pa.array([stage] * n, type=pa.string()),
+            "stage": stage_arr,
             "score": pa.array(np.zeros(n), type=pa.float64()),
         }
     )
@@ -88,26 +103,82 @@ def _group_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, ends
 
 
-def _find_hot_buckets(expanded, cap: int, stage: str):
-    counts = expanded.groupby("bucket").count()
-    hot_tbl = counts.filter(lambda row: row["count()"] > cap).to_pandas()
-    if len(hot_tbl) and "bucket" in hot_tbl.columns:
-        hot = dict(
-            zip(
-                hot_tbl["bucket"].astype(np.int64),
-                hot_tbl["count()"].astype(np.int64),
-            )
+def _find_hot_buckets(expanded, cap: int, stage: str, cfg: DedupConfig):
+    """Sampled hot-bucket detection (no shuffle, no per-row Python).
+
+    One map pass over the expansion: each batch hash-samples its rows
+    at rate 1/mod (deterministic on image_id), counts the sampled
+    buckets with np.unique, and emits only buckets sampled >= 2 times
+    in the batch (a truly hot bucket is sampled many times per batch;
+    the floor bounds the partial tables the driver merges). Estimated
+    bucket size = total sampled count x mod. mod=1 degenerates to the
+    exact count (used by tests asserting salted == unsalted).
+    """
+    mod = cfg.hot_sample_mod if cfg.hot_sample_mod else 16
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        if mod > 1:
+            ids = batch.column("image_id").to_pylist()
+            mask = H.hash_bytes_arrays(ids, seed=0xA11CE) % U64(mod) == 0
+            b = b[mask]
+        vals, cnts = np.unique(b, return_counts=True)
+        if mod > 1:
+            keep = cnts >= 2
+            vals, cnts = vals[keep], cnts[keep]
+        return pa.table(
+            {
+                "bucket": pa.array(vals.astype(np.int64)),
+                "c": pa.array(cnts.astype(np.int64)),
+            }
         )
-    else:  # empty filter results drop their columns
-        hot = {}
+
+    parts = expanded.map_batches(
+        partial_counts, batch_format="pyarrow"
+    ).to_pandas()
+    return _hot_from_partials(parts, cap, stage, mod)
+
+
+def _find_hot_buckets_presampled(sampled, cap: int, stage: str, mod: int):
+    """Hot detection over an ALREADY row-sampled expansion (the fused
+    path samples the expansion SOURCES so the detection pass only
+    expands 1/mod of the rows)."""
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        b = batch.column("bucket").to_numpy(zero_copy_only=False)
+        vals, cnts = np.unique(b, return_counts=True)
+        if mod > 1:
+            keep = cnts >= 2
+            vals, cnts = vals[keep], cnts[keep]
+        return pa.table(
+            {
+                "bucket": pa.array(vals.astype(np.int64)),
+                "c": pa.array(cnts.astype(np.int64)),
+            }
+        )
+
+    parts = sampled.map_batches(
+        partial_counts, batch_format="pyarrow"
+    ).to_pandas()
+    return _hot_from_partials(parts, cap, stage, mod)
+
+
+def _hot_from_partials(parts: pd.DataFrame, cap: int, stage: str, mod: int):
+    hot = {}
+    max_est = 0
+    if len(parts):
+        est = parts.groupby("bucket")["c"].sum() * mod
+        est = est[est > cap]
+        hot = {int(k): int(v) for k, v in est.items()}
+        max_est = int(est.max()) if len(est) else 0
     stats = {
         "stage": stage,
         "hot_buckets": len(hot),
-        "max_bucket": int(hot_tbl["count()"].max()) if len(hot) else 0,
+        "max_bucket": max_est,
     }
     if hot:
         logger.warning(
-            "stage %s: salting %d hot buckets (max size %d, cap %d)",
+            "stage %s: salting %d hot buckets (max est size %d, cap %d)",
             stage, len(hot), stats["max_bucket"], cap,
         )
     return hot, stats
@@ -157,6 +228,11 @@ def _salt_fn(hot_ref, target: int, extra_cols: tuple[str, ...] = ()):
     return salt_batch
 
 
+def _keep_hot(batch: pa.Table) -> pa.Table:
+    """Vectorized mask keeping only rows of salted (hot) buckets."""
+    return batch.filter(batch.column("is_hot"))
+
+
 def pairs_from_buckets(
     expanded, stage: str, cfg: DedupConfig
 ) -> tuple["ray.data.Dataset", dict]:
@@ -166,11 +242,14 @@ def pairs_from_buckets(
     the verify stage.
     """
     cap = cfg.bucket_cap
-    hot, stats = _find_hot_buckets(expanded, cap, stage)
-    hot_ref = ray.put(hot)
-    salted = expanded.map_batches(
-        _salt_fn(hot_ref, cfg.salt_target), batch_format="pyarrow"
-    )
+    hot, stats = _find_hot_buckets(expanded, cap, stage, cfg)
+    if hot:
+        hot_ref = ray.put(hot)
+        salted = expanded.map_batches(
+            _salt_fn(hot_ref, cfg.salt_target), batch_format="pyarrow"
+        )
+    else:  # nothing hot: skip the salt map entirely
+        salted = expanded
 
     def emit_partition(part: pd.DataFrame) -> pd.DataFrame:
         keys = part["bucket"].to_numpy()
@@ -200,38 +279,54 @@ def pairs_from_buckets(
         emit_partition, cfg,
     )
 
-    # ---- bridge the sub-buckets of each hot bucket -------------------
     if hot:
-        hot_rows = salted.filter(lambda row: row["is_hot"])
-        from ray.data.aggregate import Min
-
-        reps = hot_rows.groupby(["obucket", "bucket"]).aggregate(
-            Min("image_id", alias_name="rep")
-        )
-
-        def bridge(part: pd.DataFrame) -> pd.DataFrame:
-            keys = part["obucket"].to_numpy()
-            ids = part["rep"].to_numpy()
-            starts, ends = _group_bounds(keys)
-            src_all, dst_all = [], []
-            for s, e in zip(starts, ends):
-                if e - s < 2:
-                    continue
-                g = np.sort(ids[s:e])
-                src_all.append(g[:-1])
-                dst_all.append(g[1:])
-            if not src_all:
-                return _edges_table([], [], stage)
-            return _edges_table(
-                np.concatenate(src_all), np.concatenate(dst_all), stage
-            )
-
-        bridges = partitioned_groups(
-            reps.select_columns(["obucket", "rep"]), "obucket", bridge, cfg
-        )
-        edges = edges.union(bridges)
-
+        edges = edges.union(_bridge_hot(salted, stage, cfg))
     return edges, stats
+
+
+def _bridge_hot(salted, stage: str | None, cfg: DedupConfig):
+    """Bridge edges between the sub-buckets of each salted hot bucket:
+    chain the per-sub-bucket min ids so the hot bucket stays ONE
+    connected component (salted == unsalted clustering).
+
+    `stage=None` reads the per-row `stage` column instead (fused path
+    — buckets are stage-pure by key mixing, so Min(stage) per
+    sub-bucket is the group's stage)."""
+    from ray.data.aggregate import Min
+
+    hot_rows = salted.map_batches(_keep_hot, batch_format="pyarrow")
+    aggs = [Min("image_id", alias_name="rep")]
+    cols = ["obucket", "rep"]
+    if stage is None:
+        aggs.append(Min("stage", alias_name="gstage"))
+        cols.append("gstage")
+    reps = hot_rows.groupby(["obucket", "bucket"]).aggregate(*aggs)
+
+    def bridge(part: pd.DataFrame) -> pd.DataFrame:
+        keys = part["obucket"].to_numpy()
+        ids = part["rep"].to_numpy()
+        st = part["gstage"].to_numpy() if stage is None else None
+        starts, ends = _group_bounds(keys)
+        src_all, dst_all, st_all = [], [], []
+        for s, e in zip(starts, ends):
+            if e - s < 2:
+                continue
+            g = np.sort(ids[s:e])
+            src_all.append(g[:-1])
+            dst_all.append(g[1:])
+            if st is not None:
+                st_all.append(np.full(e - s - 1, st[s], dtype=object))
+        if not src_all:
+            return _edges_table([], [], stage or "")
+        return _edges_table(
+            np.concatenate(src_all),
+            np.concatenate(dst_all),
+            stage if stage is not None else np.concatenate(st_all),
+        )
+
+    return partitioned_groups(
+        reps.select_columns(cols), "obucket", bridge, cfg
+    )
 
 
 def simhash_pairs_from_buckets(expanded, stage: str, cfg: DedupConfig):
@@ -240,18 +335,26 @@ def simhash_pairs_from_buckets(expanded, stage: str, cfg: DedupConfig):
     carries the simhash payload), so no feature-attachment join and no
     over-emission: output pairs already satisfy the Hamming criterion.
 
-    Hot buckets are salted like pairs_from_buckets; within a salted or
-    still-hot sub-bucket members are sorted by (simhash, id) so
-    identical hashes sit adjacent and chain links still verify.
+    Hot buckets are salted like pairs_from_buckets, including the
+    bridge edges between sub-bucket representatives (without them,
+    near-dup pairs split across salt sub-buckets would be lost); the
+    bridges skip the in-bucket Hamming pre-test but every emitted pair
+    is re-checked by verify_simhash_psnr, so precision is unaffected.
+    Within a salted or still-hot sub-bucket members are sorted by
+    (simhash, id) so identical hashes sit adjacent and chain links
+    still verify.
     """
     cap = cfg.bucket_cap
     r = cfg.hamming_radius
-    hot, stats = _find_hot_buckets(expanded, cap, stage)
-    hot_ref = ray.put(hot)
-    salted = expanded.map_batches(
-        _salt_fn(hot_ref, cfg.salt_target, extra_cols=("simhash",)),
-        batch_format="pyarrow",
-    )
+    hot, stats = _find_hot_buckets(expanded, cap, stage, cfg)
+    if hot:
+        hot_ref = ray.put(hot)
+        salted = expanded.map_batches(
+            _salt_fn(hot_ref, cfg.salt_target, extra_cols=("simhash",)),
+            batch_format="pyarrow",
+        )
+    else:
+        salted = expanded
 
     def emit_partition(part: pd.DataFrame) -> pd.DataFrame:
         keys = part["bucket"].to_numpy()
@@ -288,18 +391,283 @@ def simhash_pairs_from_buckets(expanded, stage: str, cfg: DedupConfig):
         salted.select_columns(["bucket", "image_id", "simhash"]), "bucket",
         emit_partition, cfg,
     )
+    if hot:
+        edges = edges.union(_bridge_hot(salted, stage, cfg))
     return edges, stats
 
 
+# Per-stage key-space seeds: mixed into bucket keys so the fused
+# union of all expansions never collides across stages (each stage's
+# buckets live in a disjoint hashed key space).
+_STAGE_SEEDS = {
+    "minhash": U64(0x51AE_0001),
+    "simhash": U64(0x51AE_0002),
+    "substring": U64(0x51AE_0003),
+    "exact_caption": U64(0x51AE_0004),
+    "exact_image": U64(0x51AE_0005),
+}
+
+
+def _mix_keys(keys_i64: np.ndarray, seed: U64) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return H.splitmix64(keys_i64.view(U64) ^ seed).view(np.int64)
+
+
+def fused_pairs_from_buckets(
+    expansions: list[tuple["ray.data.Dataset", object, str]],
+    cfg: DedupConfig,
+) -> tuple["ray.data.Dataset", dict]:
+    """ONE candidate-generation shuffle for every sketch stage.
+
+    Concurrent Dataset executions serialize in Ray's streaming
+    executor, so running the minhash / simhash / substring chains in
+    driver threads buys nothing — instead their expansions are tagged
+    with a stage label, bucket keys are re-mixed into per-stage key
+    spaces (no cross-stage collisions), and a single sampled
+    hot-detect + salted partitioned-groups pass emits every stage's
+    pairs with per-stage semantics:
+
+      - set stages (minhash / substring): all-pairs under the cap,
+        chain above it;
+      - simhash: in-bucket Hamming(<= radius) test on the carried
+        simhash payload.
+
+    `expansions`: (source_ds, expand_fn, stage) triples —
+    expand_fn(source_ds) yields the (bucket, image_id[, simhash])
+    expansion. Hot-bucket detection expands only a 1/hot_sample_mod
+    hash-sample of each SOURCE (not the full expansion), so the
+    detection pass costs ~1/mod of one expansion and no shuffle.
+
+    Returns (edges with per-row stage labels, stats).
+    """
+
+    def tag(stage: str, has_simhash: bool):
+        seed = _STAGE_SEEDS[stage]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            b = batch.column("bucket").to_numpy(zero_copy_only=False)
+            n = len(batch)
+            return pa.table(
+                {
+                    "bucket": pa.array(_mix_keys(b, seed)),
+                    "image_id": batch.column("image_id"),
+                    "simhash": (
+                        batch.column("simhash")
+                        if has_simhash
+                        else pa.array(np.zeros(n, dtype=np.int64))
+                    ),
+                    "stage": pa.array([stage] * n, type=pa.string()),
+                }
+            )
+
+        return fn
+
+    mod = cfg.hot_sample_mod if cfg.hot_sample_mod else 16
+
+    def sample_rows(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        mask = H.hash_bytes_arrays(ids, seed=0xA11CE) % U64(mod) == 0
+        return batch.filter(pa.array(mask))
+
+    tagged = None
+    sampled = None
+    for src_ds, expand_fn, stage in expansions:
+        t = expand_fn(src_ds).map_batches(
+            tag(stage, stage == "simhash"), batch_format="pyarrow"
+        )
+        tagged = t if tagged is None else tagged.union(t)
+        src_s = (
+            src_ds.map_batches(sample_rows, batch_format="pyarrow")
+            if mod > 1
+            else src_ds
+        )
+        s = expand_fn(src_s).map_batches(
+            tag(stage, stage == "simhash"), batch_format="pyarrow"
+        )
+        sampled = s if sampled is None else sampled.union(s)
+    assert tagged is not None, "no expansions enabled"
+
+    cap = cfg.bucket_cap
+    r = cfg.hamming_radius
+    hot, stats = _find_hot_buckets_presampled(sampled, cap, "fused", mod)
+    if hot:
+        hot_ref = ray.put(hot)
+        salted = tagged.map_batches(
+            _salt_fn(hot_ref, cfg.salt_target, extra_cols=("simhash", "stage")),
+            batch_format="pyarrow",
+        )
+    else:
+        salted = tagged
+
+    def emit_partition(part: pd.DataFrame) -> pd.DataFrame:
+        keys = part["bucket"].to_numpy()
+        ids = part["image_id"].to_numpy()
+        sh = part["simhash"].to_numpy().astype(np.int64).view(U64)
+        st = part["stage"].to_numpy()
+        starts, ends = _group_bounds(keys)
+        src_all, dst_all, st_all = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            g_stage = st[s]
+            if g_stage == "simhash":
+                order = np.lexsort((ids[s:e], sh[s:e]))
+                g_ids = ids[s:e][order]
+                g_sh = sh[s:e][order]
+                if n > cap:
+                    i = np.arange(n - 1)
+                    j = i + 1
+                else:
+                    i, j = np.triu_indices(n, k=1)
+                d = H.hamming64(g_sh[i], g_sh[j])
+                keep = d <= r
+                if not keep.any():
+                    continue
+                a, b = g_ids[i[keep]], g_ids[j[keep]]
+                src = np.minimum(a, b)
+                dst = np.maximum(a, b)
+            else:
+                g = np.sort(ids[s:e])
+                if n > cap:  # collision inside a sub-bucket: chain
+                    src, dst = g[:-1], g[1:]
+                else:
+                    i, j = np.triu_indices(n, k=1)
+                    src, dst = g[i], g[j]
+            src_all.append(src)
+            dst_all.append(dst)
+            st_all.append(np.full(len(src), g_stage, dtype=object))
+        if not src_all:
+            return _edges_table([], [], "")
+        return _edges_table(
+            np.concatenate(src_all),
+            np.concatenate(dst_all),
+            np.concatenate(st_all),
+        )
+
+    edges = partitioned_groups(
+        salted.select_columns(["bucket", "image_id", "simhash", "stage"]),
+        "bucket", emit_partition, cfg,
+    )
+    if hot:
+        edges = edges.union(_bridge_hot(salted, None, cfg))
+    return edges, stats
+
+
+def collapse_dual(sigs, axes, cfg: DedupConfig):
+    """Representative collapse for SEVERAL hash axes in ONE shuffle.
+
+    `axes`: list of (key_col, stage_name, rep_cols). The signature
+    table is tagged once per axis — key re-mixed into the axis's key
+    space, only that axis's `rep_cols` carried (the other axis's
+    columns are nulls, so e.g. thumbnails never ride the caption
+    axis) — unioned, and annotated with rep = min image_id per key
+    group in a single partitioned-groups pass.
+
+    Returns (edges_ds, {stage_name: reps_ds}): exact-dup edges for all
+    axes (per-row stage label, score=1.0) and one rep table per axis
+    (image_id + rep_cols of representatives only). Semantics are
+    identical to running collapse_by per axis; see collapse_by for the
+    correctness argument.
+    """
+    all_rep_cols: list[str] = []
+    for _, _, rep_cols in axes:
+        for c in rep_cols:
+            if c not in all_rep_cols:
+                all_rep_cols.append(c)
+    sch = sigs.schema()
+    col_types = dict(zip(sch.names, sch.types))
+
+    def tagger(key_col: str, stage_name: str, rep_cols: list[str]):
+        seed = _STAGE_SEEDS[stage_name]
+
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            k = batch.column(key_col).to_numpy(zero_copy_only=False)
+            cols = {
+                "key": pa.array(_mix_keys(k, seed)),
+                "stage": pa.array([stage_name] * n, type=pa.string()),
+                "image_id": batch.column("image_id"),
+            }
+            for c in all_rep_cols:
+                cols[c] = (
+                    batch.column(c)
+                    if c in rep_cols
+                    else pa.nulls(n, col_types[c])
+                )
+            return pa.table(cols)
+
+        return fn
+
+    tagged = None
+    for key_col, stage_name, rep_cols in axes:
+        t = sigs.map_batches(
+            tagger(key_col, stage_name, rep_cols), batch_format="pyarrow"
+        )
+        tagged = t if tagged is None else tagged.union(t)
+
+    def annotate(part: pa.Table) -> pa.Table:
+        keys = part.column("key").to_numpy(zero_copy_only=False)
+        ids = np.asarray(part.column("image_id").to_pylist(), dtype=object)
+        starts, ends = _group_bounds(keys)
+        if len(starts) == 0:
+            return part.append_column("rep", pa.array([], type=pa.string()))
+        gidx = np.repeat(np.arange(len(starts)), ends - starts)
+        rep = np.minimum.reduceat(ids, starts)[gidx]
+        return part.append_column("rep", pa.array(rep, type=pa.string()))
+
+    annotated = partitioned_groups_arrow(tagged, "key", annotate, cfg).materialize()
+
+    def edges(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.not_equal(batch.column("image_id"), batch.column("rep"))
+        t = batch.filter(keep)
+        return pa.table(
+            {
+                "src": t.column("rep"),
+                "dst": t.column("image_id"),
+                "stage": t.column("stage"),
+                "score": pa.array(np.ones(len(t)), type=pa.float64()),
+            }
+        )
+
+    def reps_for(stage_name: str, rep_cols: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            keep = pc.and_(
+                pc.equal(batch.column("stage"), pa.scalar(stage_name)),
+                pc.equal(batch.column("image_id"), batch.column("rep")),
+            )
+            t = batch.filter(keep)
+            return t.select(["image_id", *rep_cols])
+
+        return fn
+
+    edges_ds = annotated.map_batches(edges, batch_format="pyarrow")
+    reps = {
+        stage_name: annotated.map_batches(
+            reps_for(stage_name, rep_cols), batch_format="pyarrow"
+        )
+        for _, stage_name, rep_cols in axes
+    }
+    return edges_ds, reps
+
+
 def dedup_edges(edges, cfg: DedupConfig | None = None):
-    """Canonical edge dedup: keep-first per (src, dst) pair
+    """Canonical edge dedup: keep one row per (src, dst) pair
     (SURVEY.md §2.6 E5). Partitioned on src (so any given pair lands
-    in one partition), vectorized drop_duplicates per partition."""
+    in one partition); rows are pre-sorted by (src, dst, stage, score)
+    so the kept row is DETERMINISTIC when the same pair arrives from
+    several stages (arrival order from upstream unions is not)."""
     if cfg is None:
         cfg = DedupConfig()
 
     def drop(part: pd.DataFrame) -> pd.DataFrame:
-        return part.drop_duplicates(["src", "dst"], keep="first")
+        return part.sort_values(
+            ["src", "dst", "stage", "score"], kind="stable"
+        ).drop_duplicates(["src", "dst"], keep="first")
 
     return partitioned_groups(edges, "src", drop, cfg)
 

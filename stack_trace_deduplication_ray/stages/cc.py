@@ -42,32 +42,44 @@ logger = logging.getLogger(__name__)
 
 
 def driver_union_find(edges) -> dict[str, str]:
-    """Stream edges to the driver, return {node: min-member label}."""
-    parent: dict[str, str] = {}
+    """Stream edges to the driver, return {node: min-member label}.
 
-    def find(x: str) -> str:
-        root = x
-        while parent.get(root, root) != root:
-            root = parent[root]
-        while parent.get(x, x) != root:  # path compression
-            parent[x], x = root, parent[x]
-        return root
-
+    Vectorized: node ids are factorized to int codes, then min-label
+    propagation with pointer jumping runs over the WHOLE edge array in
+    numpy (O(E) C-speed work per round, O(log diameter) rounds) — no
+    per-edge Python loop. Labels live in rank space (rank = position
+    in the sorted unique-id order) so the minimum label is exactly the
+    lexicographic min member id, matching the keep-first rule.
+    """
+    srcs, dsts = [], []
     for batch in edges.select_columns(["src", "dst"]).iter_batches(
-        batch_size=65536, batch_format="pyarrow"
+        batch_size=262144, batch_format="pyarrow"
     ):
-        for s, d in zip(
-            batch.column("src").to_pylist(), batch.column("dst").to_pylist()
-        ):
-            rs, rd = find(s), find(d)
-            if rs != rd:
-                # union by label order: smaller id becomes the root, so
-                # the representative is always the min member
-                if rs < rd:
-                    parent[rd] = rs
-                else:
-                    parent[rs] = rd
-    return {x: find(x) for x in list(parent)}
+        srcs.append(np.asarray(batch.column("src").to_pylist(), dtype=object))
+        dsts.append(np.asarray(batch.column("dst").to_pylist(), dtype=object))
+    if not srcs:
+        return {}
+    s = np.concatenate(srcs)
+    d = np.concatenate(dsts)
+    codes, uniques = pd.factorize(np.concatenate([s, d]))
+    uniques = np.asarray(uniques, dtype=object)
+    e_s = codes[: len(s)]
+    e_d = codes[len(s):]
+    n = len(uniques)
+    order = np.argsort(uniques)  # order[r] = code of the rank-r id
+    rank = np.empty(n, dtype=np.int64)
+    rank[order] = np.arange(n)
+    labels = rank.copy()
+    while True:
+        prev = labels.copy()
+        m = np.minimum(labels[e_s], labels[e_d])
+        np.minimum.at(labels, e_s, m)
+        np.minimum.at(labels, e_d, m)
+        labels = np.minimum(labels, labels[order[labels]])  # pointer jump
+        if np.array_equal(labels, prev):
+            break
+    roots = uniques[order[labels]]
+    return dict(zip(uniques, roots))
 
 
 def _labels_checksum(labels) -> int:
@@ -207,12 +219,12 @@ def assign_clusters(all_ids_ds, edges, cfg: DedupConfig):
 
         def apply(batch: pa.Table) -> pa.Table:
             lab = ray.get(ref)
-            ids = batch.column("image_id").to_pylist()
-            out = [lab.get(i, i) for i in ids]
+            ids = pd.Series(batch.column("image_id").to_pylist(), dtype=object)
+            out = ids.map(lab).fillna(ids)  # hashtable lookup, C speed
             return pa.table(
                 {
                     "image_id": batch.column("image_id"),
-                    "cluster_id": pa.array(out, type=pa.string()),
+                    "cluster_id": pa.array(out.to_numpy(), type=pa.string()),
                 }
             )
 

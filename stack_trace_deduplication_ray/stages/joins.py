@@ -133,24 +133,60 @@ def join_ds(
         lmask = side == _SIDE_L
         if not lmask.any():
             return out_schema.empty_table()
-        ldf = group.filter(pa.array(lmask)).select(["__key", *lcols]).to_pandas()
+        lt = group.filter(pa.array(lmask))
         if dedup_left:
-            ldf = ldf.drop_duplicates(dedup_left, keep="first")
+            # first-occurrence mask computed on the (narrow) dedup key
+            # columns only; the payload columns stay Arrow
+            kdf = lt.select(dedup_left).to_pandas()
+            keep = ~kdf.duplicated(keep="first").to_numpy()
+            if not keep.all():
+                lt = lt.filter(pa.array(keep))
         rmask = ~lmask
         if not rmask.any():
             if join_type == "inner":
                 return out_schema.empty_table()
+            cols = {c: lt.column(c) for c in lcols}
             for c in rcols:
-                ldf[c] = None
+                cols[c] = pa.nulls(len(lt), r_types[c])
+            return pa.table(cols).cast(out_schema)
+        rt = group.filter(pa.array(rmask))
+        lkeys = np.asarray(lt.column("__key").to_pylist(), dtype=object)
+        rkeys = np.asarray(rt.column("__key").to_pylist(), dtype=object)
+        order = np.argsort(rkeys)
+        rsorted = rkeys[order]
+        if len(rsorted) > 1 and (rsorted[1:] == rsorted[:-1]).any():
+            # duplicate right keys: fall back to a general pandas merge
+            ldf = lt.select(["__key", *lcols]).to_pandas()
+            rdf = rt.select(["__key", *rcols]).to_pandas()
+            how = "inner" if join_type == "inner" else "left"
+            m = ldf.merge(rdf, on="__key", how=how)
             return pa.Table.from_pandas(
-                ldf[lcols + rcols], schema=out_schema, preserve_index=False
+                m[lcols + rcols], schema=out_schema, preserve_index=False
             )
-        rdf = group.filter(pa.array(rmask)).select(["__key", *rcols]).to_pandas()
-        how = "inner" if join_type == "inner" else "left"
-        m = ldf.merge(rdf, on="__key", how=how)
-        return pa.Table.from_pandas(
-            m[lcols + rcols], schema=out_schema, preserve_index=False
-        )
+        # unique-right fast path (every current caller joins a table
+        # keyed uniquely): index match via searchsorted, data movement
+        # via Arrow take — payload columns (e.g. thumbnails, signature
+        # lists) NEVER round-trip through per-row pandas objects.
+        pos = np.searchsorted(rsorted, lkeys)
+        pos_c = np.minimum(pos, max(len(rsorted) - 1, 0))
+        hit = rsorted[pos_c] == lkeys
+        if join_type == "inner":
+            if not hit.any():
+                return out_schema.empty_table()
+            lt2 = lt.filter(pa.array(hit))
+            ridx = order[pos_c[hit]]
+            rsel = rt.take(pa.array(ridx, type=pa.int64()))
+            cols = {c: lt2.column(c) for c in lcols}
+            for c in rcols:
+                cols[c] = rsel.column(c)
+            return pa.table(cols).cast(out_schema)
+        ridx = order[pos_c].astype(np.int64)
+        idx = pa.array(ridx, type=pa.int64(), mask=~hit)  # null = miss
+        rsel = rt.take(idx)
+        cols = {c: lt.column(c) for c in lcols}
+        for c in rcols:
+            cols[c] = rsel.column(c)
+        return pa.table(cols).cast(out_schema)
 
     return unified.groupby("__p").map_groups(merge, batch_format="pyarrow")
 

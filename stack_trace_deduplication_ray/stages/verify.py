@@ -33,14 +33,15 @@ U64 = np.uint64
 
 def attach_pair_features(
     edges, feats, cfg: DedupConfig, suffixes=("_src", "_dst"),
-    dedup_pairs: bool = False,
+    dedup_pairs: bool = False, dedup_cols: list[str] | None = None,
 ):
     """edges(src, dst, ...) x feats(image_id, f...) -> one row per edge
     with f_src / f_dst columns (two partitioned hash joins; feature
     columns are pre-renamed per side so names never collide).
 
-    dedup_pairs=True folds global (src, dst) candidate dedup into the
-    first join (partitioned on src), saving a dedicated shuffle."""
+    dedup_pairs=True folds global candidate dedup (on `dedup_cols`,
+    default (src, dst)) into the first join (partitioned on src),
+    saving a dedicated shuffle."""
     feat_cols = [c for c in feats.schema().names if c != "image_id"]
 
     def renamer(suffix):
@@ -55,7 +56,7 @@ def attach_pair_features(
     f_src = feats.map_batches(renamer(suffixes[0]), batch_format="pyarrow")
     j1 = join_ds(
         edges, f_src, "src", "__fid" + suffixes[0], cfg,
-        dedup_left=["src", "dst"] if dedup_pairs else None,
+        dedup_left=(dedup_cols or ["src", "dst"]) if dedup_pairs else None,
     )
     f_dst = feats.map_batches(renamer(suffixes[1]), batch_format="pyarrow")
     return join_ds(j1, f_dst, "dst", "__fid" + suffixes[1], cfg)
@@ -223,6 +224,111 @@ def verify_simhash_psnr(edges, sigs, cfg: DedupConfig):
         )
 
     return paired.map_batches(psnr_check, batch_format="pyarrow")
+
+
+def verify_fused(edges, sigs, cfg: DedupConfig, has_image: bool):
+    """ONE verify pass for every sketch stage's candidates.
+
+    The fused candidate edges carry per-row stage labels; a single
+    feature-attachment join (2 shuffles total, vs 2 per stage) brings
+    caption_norm (+ thumb/decode_ok when images are present) to every
+    pair, and each batch dispatches rows to the stage's exact kernel:
+
+      - minhash  -> exact char-shingle Jaccard >= jaccard_threshold
+      - substring-> shared >= L-char window (rolling-hash L-grams)
+      - simhash  -> thumbnail PSNR >= psnr_threshold_db (Hamming test
+                    already ran inside the bucket emitter)
+
+    Candidate dedup happens inside the first join on (src, dst, stage)
+    — every stage-variant of a pair is verified by ITS OWN criterion,
+    so a pair failing one stage can still be confirmed by another
+    (identical to the per-stage chains it replaces); the final
+    dedup_edges collapses multi-stage confirmations deterministically.
+
+    Features come from the full signature table (one row per id, all
+    feature columns) because caption-axis and image-axis reps are
+    different id sets.
+    """
+    cols = ["image_id", "caption_norm"]
+    if has_image:
+        cols += ["thumb", "decode_ok"]
+    feats = sigs.select_columns(cols)
+    paired = attach_pair_features(
+        edges, feats, cfg, dedup_pairs=True,
+        dedup_cols=["src", "dst", "stage"],
+    )
+    L = cfg.substring_min_len
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return batch.select(["src", "dst", "stage"]).append_column(
+                "score", pa.array([], type=pa.float64())
+            )
+        st = np.asarray(batch.column("stage").to_pylist(), dtype=object)
+        keep = np.zeros(n, dtype=bool)
+        sc = np.zeros(n, dtype=np.float64)
+
+        mh_idx = np.nonzero(st == "minhash")[0]
+        ss_idx = np.nonzero(st == "substring")[0]
+        if len(mh_idx) or len(ss_idx):
+            cap_a = batch.column("caption_norm_src").to_pylist()
+            cap_b = batch.column("caption_norm_dst").to_pylist()
+            if len(mh_idx):
+                jac = _jaccard_batch(
+                    [cap_a[i] for i in mh_idx],
+                    [cap_b[i] for i in mh_idx],
+                    cfg.shingle_k,
+                )
+                ok = jac >= cfg.jaccard_threshold
+                keep[mh_idx] = ok
+                sc[mh_idx] = np.where(ok, jac, 0.0)
+            for i in ss_idx:  # candidate pairs only — small
+                fa, _ = H.concat_utf8([cap_a[i]])
+                fb, _ = H.concat_utf8([cap_b[i]])
+                wa = H.window_hashes(fa, L)
+                wb = H.window_hashes(fb, L)
+                if len(wa) and len(wb):
+                    inter = np.intersect1d(wa, wb).size
+                    if inter > 0:
+                        keep[i] = True
+                        sc[i] = min(
+                            1.0,
+                            (inter + L - 1)
+                            / max(1, min(len(cap_a[i]), len(cap_b[i]))),
+                        )
+
+        sh_idx = np.nonzero(st == "simhash")[0]
+        if len(sh_idx):
+            ta = np.stack(
+                batch.column("thumb_src")
+                .take(pa.array(sh_idx))
+                .to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            tb = np.stack(
+                batch.column("thumb_dst")
+                .take(pa.array(sh_idx))
+                .to_numpy(zero_copy_only=False)
+            ).astype(np.float64)
+            ok_dec = np.logical_and(
+                batch.column("decode_ok_src").to_numpy(zero_copy_only=False)[sh_idx],
+                batch.column("decode_ok_dst").to_numpy(zero_copy_only=False)[sh_idx],
+            )
+            mse = np.mean((ta - tb) ** 2, axis=1)
+            with np.errstate(divide="ignore"):
+                p = 10.0 * np.log10(255.0 * 255.0 / np.maximum(mse, 1e-300))
+            ok = ok_dec & (p >= cfg.psnr_threshold_db)
+            keep[sh_idx] = ok
+            sc[sh_idx] = np.where(
+                ok, np.where(np.isinf(p) | (p > 100.0), 1.0, p / 100.0), 0.0
+            )
+
+        out = batch.select(["src", "dst", "stage"]).filter(pa.array(keep))
+        return out.append_column(
+            "score", pa.array(sc[keep], type=pa.float64())
+        )
+
+    return paired.map_batches(score, batch_format="pyarrow")
 
 
 def finalize_exact(edges):

@@ -43,7 +43,7 @@ def test_hot_bucket_salted_same_component(ray_session):
     """A bucket far above the cap must be salted, yet all members must
     land in one connected component (bridge edges)."""
     n = 500
-    cfg = DedupConfig(bucket_cap=64, salt_target=32)
+    cfg = DedupConfig(bucket_cap=64, salt_target=32, hot_sample_mod=1)
     rows = [(7, f"m{i:04d}") for i in range(n)]
     edges, stats = cand.pairs_from_buckets(_expanded_ds(rows), "t", cfg)
     assert stats["hot_buckets"] == 1
@@ -64,7 +64,7 @@ def test_salted_equals_unsalted_components(ray_session):
     for b in range(8):
         size = int(rng.integers(2, 120))
         rows += [(b, f"b{b}_{i:03d}") for i in range(size)]
-    salted_cfg = DedupConfig(bucket_cap=16, salt_target=8)
+    salted_cfg = DedupConfig(bucket_cap=16, salt_target=8, hot_sample_mod=1)
     plain_cfg = DedupConfig(bucket_cap=100_000, salt_target=8)
     e1, _ = cand.pairs_from_buckets(_expanded_ds(rows), "t", salted_cfg)
     e2, _ = cand.pairs_from_buckets(_expanded_ds(rows), "t", plain_cfg)
@@ -77,6 +77,43 @@ def test_salted_equals_unsalted_components(ray_session):
         c1.setdefault(l1.get(i, i), set()).add(i)
         c2.setdefault(l2.get(i, i), set()).add(i)
     assert sorted(map(sorted, c1.values())) == sorted(map(sorted, c2.values()))
+
+
+def test_sampled_hot_detection_finds_large_bucket(ray_session):
+    """Default sampled detection (mod=16, no count shuffle) must find a
+    genuinely hot bucket, salt it, and keep it one component."""
+    n = 2000
+    cfg = DedupConfig(bucket_cap=64, salt_target=32)  # hot_sample_mod=0 -> 16
+    rows = [(9, f"s{i:05d}") for i in range(n)]
+    edges, stats = cand.pairs_from_buckets(_expanded_ds(rows), "t", cfg)
+    assert stats["hot_buckets"] == 1
+    # estimate is within a factor ~2 of the true size
+    assert n // 2 <= stats["max_bucket"] <= 2 * n
+    labels = _components(edges)
+    roots = {labels.get(f"s{i:05d}", f"s{i:05d}") for i in range(n)}
+    assert len(roots) == 1
+    assert edges.count() < n * 40
+
+
+def test_simhash_hot_bucket_bridged_same_component(ray_session):
+    """Salted simhash buckets must emit bridge edges: identical
+    simhashes split across salt sub-buckets still form one component."""
+    import ray.data as rd
+
+    n = 300
+    cfg = DedupConfig(bucket_cap=32, salt_target=16, hot_sample_mod=1)
+    t = pa.table(
+        {
+            "bucket": pa.array([5] * n, type=pa.int64()),
+            "image_id": pa.array([f"q{i:04d}" for i in range(n)]),
+            "simhash": pa.array([12345] * n, type=pa.int64()),
+        }
+    )
+    edges, stats = cand.simhash_pairs_from_buckets(rd.from_arrow(t), "sh", cfg)
+    assert stats["hot_buckets"] == 1
+    labels = _components(edges)
+    roots = {labels.get(f"q{i:04d}", f"q{i:04d}") for i in range(n)}
+    assert len(roots) == 1
 
 
 def test_dedup_edges_keeps_one_per_pair(ray_session):

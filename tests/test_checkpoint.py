@@ -74,8 +74,7 @@ def test_pipeline_resume_identical_clusters(ray_session, small_fixture_dir, tmp_
     r1 = run_dedup(images, cfg, checkpoint_dir=ckdir, input_id="fix1k")
     c1 = r1["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
     man1 = json.load(open(os.path.join(ckdir, "manifest.json")))
-    assert set(man1) >= {"exact_caption", "exact_image", "minhash", "simhash",
-                         "substring"}
+    assert set(man1) >= {"exact_edges", "verified_edges"}
     r2 = run_dedup(images, cfg, checkpoint_dir=ckdir, input_id="fix1k")
     c2 = r2["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
     assert c1.equals(c2)

@@ -129,3 +129,32 @@ def test_minhash_params_deterministic():
     a2, b2 = H.minhash_params(64, 9)
     assert np.array_equal(a1, a2) and np.array_equal(b1, b2)
     assert (a1 % 2 == 1).all()
+
+
+def test_prefix_filter_jaccard_equals_brute_force():
+    """word_jaccard_pairs_exact must EQUAL the n^2 brute force at any
+    threshold (the prefix filter is lossless by the pigeonhole bound)."""
+    from stack_trace_deduplication_ray.pipelines.text import (
+        word_jaccard_pairs_exact,
+    )
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 15)))
+        for _ in range(120)
+    ]
+    ids = np.arange(120, dtype=np.int64) * 7  # non-contiguous ids
+    for thr in (0.3, 0.5, 0.8):
+        s, d, j = word_jaccard_pairs_exact(ids, texts, thr)
+        got = set(zip(s.tolist(), d.tolist(), j.tolist()))
+        exp = set()
+        sets = [set(t.split(" ")) for t in texts]
+        for a in range(len(texts)):
+            for b in range(a + 1, len(texts)):
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a]) + len(sets[b]) - inter
+                jac = inter / union if union else 1.0
+                if jac >= thr:
+                    exp.add((int(ids[a]), int(ids[b]), round(jac, 6)))
+        assert got == exp, f"threshold {thr}: {len(got)} vs {len(exp)}"
