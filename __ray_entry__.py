@@ -34,6 +34,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from stack_trace_deduplication_ray.pipelines import (
         analysis,
         dedup,
+        evaluation,
+        ranking,
         relational,
         similarity,
         text,
@@ -50,6 +52,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_clusters": text.minhash_dedup_clusters,
         "jaccard_pairs_by_source": text.jaccard_pairs_by_source,
         "substring_candidate_pairs": text.substring_candidate_pairs,
+        # --- classic rankers (Lerch TF-IDF / FaST alignment) ----------
+        "lerch_pair_scores": ranking.lerch_pair_scores,
+        "fast_pair_scores": ranking.fast_pair_scores,
         # --- text analysis (training-data ops) ------------------------
         "token_counts": analysis.token_counts,
         "token_document_frequency": analysis.token_document_frequency,
@@ -61,6 +66,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_user_agg": relational.events_daily_user_agg,
         "users_first_event": relational.users_first_event,
         "events_sessionize": relational.events_sessionize,
+        "events_prev_same_type": relational.events_prev_same_type,
         "systematic_sample": relational.systematic_sample,
         "normalized_texts": relational.normalized_texts,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
@@ -72,6 +78,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_near_pairs": similarity.lsh_near_pairs,
         "ann_recall": similarity.ann_recall,
         "knn_label_accuracy": similarity.knn_label_accuracy,
+        # --- ranked-prediction evaluator battery ----------------------
+        "retrieval_rank_metrics": evaluation.retrieval_rank_metrics,
+        "retrieval_threshold_metrics": evaluation.retrieval_threshold_metrics,
     }
 
 
@@ -106,6 +115,34 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i.src
             JOIN sizes sb ON sb.doc_id = i.dst
             WHERE i.i * 1.0 / (sa.sz + sb.sz - i.i) >= 0.5
+        """,
+        "lerch_pair_scores": """
+            WITH n AS (SELECT count(*) AS n_docs FROM documents),
+            tok AS (
+                SELECT DISTINCT doc_id, source,
+                       unnest(string_split(text, ' ')) AS t
+                FROM documents
+            ),
+            idf AS (
+                SELECT t, 1 + ln((SELECT n_docs FROM n) * 1.0 / (count(*) + 1))
+                           AS w
+                FROM (SELECT DISTINCT doc_id, t FROM tok) GROUP BY t
+            ),
+            pairs AS (
+                SELECT a.doc_id AS src, b.doc_id AS dst,
+                       round(sum(i.w * i.w), 4) AS score
+                FROM tok a
+                JOIN tok b ON a.source = b.source AND a.t = b.t
+                          AND a.doc_id < b.doc_id
+                JOIN idf i ON i.t = a.t
+                GROUP BY a.doc_id, b.doc_id
+            ),
+            ranked AS (
+                SELECT src, dst, score, row_number() OVER (
+                    PARTITION BY src ORDER BY score DESC, dst ASC
+                ) AS rn FROM pairs
+            )
+            SELECT src, dst, score FROM ranked WHERE rn <= 5
         """,
         "token_counts": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
@@ -172,6 +209,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    count(*) AS n_events
             FROM sess GROUP BY user_id, session_id
+        """,
+        "events_prev_same_type": """
+            SELECT event_id, prev_event_id FROM (
+                SELECT event_id,
+                       lag(event_id) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS prev_event_id,
+                       ts,
+                       lag(ts) OVER (
+                           PARTITION BY event_type ORDER BY ts, event_id
+                       ) AS pts
+                FROM events
+            )
+            WHERE pts IS NOT NULL AND ts - pts <= INTERVAL 60 MINUTE
         """,
         "systematic_sample": """
             SELECT doc_id, text FROM documents WHERE doc_id % 10 = 0
@@ -240,6 +291,36 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(CASE WHEN cand_label = true_label THEN 1 ELSE 0 END)
                          * 1.0 / count(*), 4) AS accuracy
             FROM ranked WHERE rn = 1
+        """,
+        "retrieval_rank_metrics": """
+            WITH sims AS (
+                SELECT a.vec_id AS q, a.label AS ql, b.label AS cl,
+                       list_cosine_similarity(a.embedding, b.embedding)
+                           AS cos,
+                       b.vec_id AS c
+                FROM embeddings a JOIN embeddings b ON a.vec_id != b.vec_id
+            ),
+            ranked AS (
+                SELECT q, ql, cl, row_number() OVER (
+                    PARTITION BY q ORDER BY cos DESC, c ASC
+                ) AS rn FROM sims
+            ),
+            firsts AS (
+                SELECT q, min(CASE WHEN cl = ql THEN rn END) AS r
+                FROM ranked WHERE rn <= 10 GROUP BY q
+            )
+            SELECT count(*) AS n_queries,
+                   round(avg(CASE WHEN r = 1 THEN 1.0 ELSE 0.0 END), 4)
+                       AS acc1,
+                   round(avg(CASE WHEN r <= 3 THEN 1.0 ELSE 0.0 END), 4)
+                       AS acc3,
+                   round(avg(CASE WHEN r <= 5 THEN 1.0 ELSE 0.0 END), 4)
+                       AS acc5,
+                   round(avg(CASE WHEN r <= 10 THEN 1.0 ELSE 0.0 END), 4)
+                       AS acc10,
+                   round(avg(CASE WHEN r IS NOT NULL THEN 1.0 / r
+                                  ELSE 0.0 END), 4) AS mrr10
+            FROM firsts
         """,
         "same_label_near_pairs": """
             SELECT a.vec_id AS src, b.vec_id AS dst,

@@ -280,3 +280,63 @@ def phash64_dct(img: np.ndarray) -> int:
     low = coef[:8, :8]
     med = np.median(low.flatten()[1:])  # skip DC
     return _bits_to_i64(low.flatten() > med)
+
+
+# ------------------------------------------------------------- WAV PCM
+# RIFF/WAVE PCM16 is a pure-header format: struct parsing needs no
+# codec library, which upgrades the audio stage from stub to real
+# (SURVEY.md multimodal plumbing; public RIFF spec).
+
+
+def encode_wav(samples: np.ndarray, sample_rate: int = 16000) -> bytes:
+    """Mono float32 [-1, 1] samples -> PCM16 WAV bytes (little-endian)."""
+    import struct
+
+    x = np.clip(np.asarray(samples, dtype=np.float64), -1.0, 1.0)
+    pcm = np.round(x * 32767.0).astype("<i2").tobytes()
+    byte_rate = sample_rate * 2
+    fmt = struct.pack("<HHIIHH", 1, 1, sample_rate, byte_rate, 2, 16)
+    chunks = (
+        b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    return b"RIFF" + struct.pack("<I", len(chunks)) + chunks
+
+
+def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
+    """PCM16 WAV bytes -> (mono float32 samples in [-1, 1], rate).
+
+    Multi-channel input is averaged to mono. Only uncompressed PCM16
+    is supported (raises ValueError otherwise) — matching what
+    encode_wav produces and what the fixtures generate.
+    """
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    n_channels = sample_rate = bits = None
+    pcm = None
+    while pos + 8 <= len(data):
+        tag = data[pos:pos + 4]
+        (size,) = struct.unpack("<I", data[pos + 4:pos + 8])
+        body = data[pos + 8:pos + 8 + size]
+        if tag == b"fmt ":
+            audio_fmt, n_channels, sample_rate, _, _, bits = struct.unpack(
+                "<HHIIHH", body[:16]
+            )
+            if audio_fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV encoding (fmt={audio_fmt}, bits={bits})"
+                )
+        elif tag == b"data":
+            pcm = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if pcm is None or sample_rate is None:
+        raise ValueError("missing fmt/data chunk")
+    x = np.frombuffer(pcm, dtype="<i2").astype(np.float32) / 32767.0
+    if n_channels and n_channels > 1:
+        x = x[: len(x) - len(x) % n_channels]
+        x = x.reshape(-1, n_channels).mean(axis=1)
+    return x, int(sample_rate)

@@ -1,0 +1,120 @@
+"""Ranked-prediction evaluation over engine output — the reference's
+core deliverable (per-query ranked candidate lists scored by
+Accuracy@k / MRR / F-beta / ROC-AUC / bootstrap CI,
+/root/reference/ea/sim/dev/evaluation/evaluator.py:11-50) as driver
+queries over the embeddings table:
+
+- retrieval_rank_metrics ★: rank of the first correct-label candidate
+  in the cosine top-10 per query -> Accuracy@{1,3,5,10} + MRR@10
+  (SQL-expressible, DuckDB oracle).
+- retrieval_threshold_metrics: the attach-vs-new battery — y_true =
+  1-NN label match, y_score = top cosine — through the F-beta
+  threshold sweep, rank-sum ROC-AUC and the bootstrap CI of Accuracy@1
+  (seeded -> deterministic; not SQL-expressible -> rows-only).
+
+Both run the brute-force scoring shape (batch x broadcast matrix):
+this is the EVALUATION path, intentionally exact; the retrieval scale
+path is similarity.lsh_near_pairs.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from stack_trace_deduplication_ray.pipelines.similarity import _emb_matrix
+from stack_trace_deduplication_ray.sources.tables import read_table
+
+
+def _broadcast_corpus(sf_dir: str):
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    ids_all, mats, labs = [], [], []
+    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        i, m = _emb_matrix(b)
+        ids_all.append(i)
+        mats.append(m)
+        labs.append(b.column("label").to_numpy(zero_copy_only=False))
+    ids = np.concatenate(ids_all)
+    order = np.argsort(ids)
+    ids = ids[order]
+    mat = np.concatenate(mats)[order]
+    lab = np.concatenate(labs)[order]
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ds, ray.put((ids, mat, lab))
+
+
+def _first_correct_ranks(sf_dir: str, k: int = 10):
+    """Per-query rank (1-based, within top-k, 0 = none) of the first
+    candidate whose label matches; candidates ordered (cos desc,
+    vec_id asc). Also returns (top_score, top1_match) per query for
+    the threshold battery. Emitted as per-batch partial tables."""
+    ds, ref = _broadcast_corpus(sf_dir)
+
+    def ranks(batch: pa.Table) -> pa.Table:
+        key_ids, mat, lab = ray.get(ref)
+        ids, q = _emb_matrix(batch)
+        true = batch.column("label").to_numpy(zero_copy_only=False)
+        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+        sims = qn @ mat.T
+        self_pos = np.searchsorted(key_ids, ids)
+        sims[np.arange(len(ids)), self_pos] = -np.inf
+        # stable argsort of -cos: ties broken by ascending position ==
+        # ascending vec_id (key_ids is sorted) — K5 deterministic order
+        order = np.argsort(-sims, axis=1, kind="stable")[:, :k]
+        cand_lab = lab[order]
+        match = cand_lab == true[:, None]
+        has = match.any(axis=1)
+        first = np.where(has, match.argmax(axis=1) + 1, 0)
+        top_score = np.take_along_axis(sims, order[:, :1], axis=1).ravel()
+        return pa.table(
+            {
+                "rank": pa.array(first.astype(np.int64)),
+                "top_score": pa.array(top_score),
+                "top1_match": pa.array(match[:, 0].astype(np.int64)),
+            }
+        )
+
+    return ds.map_batches(ranks, batch_format="pyarrow")
+
+
+def retrieval_rank_metrics(sf_dir: str, k: int = 10):
+    """Accuracy@{1,3,5,10} + MRR@10 over the cosine top-10 per query.
+    Output one row, floats rounded 4 (DuckDB oracle ★)."""
+    t = _first_correct_ranks(sf_dir, k).to_pandas()
+    r = t["rank"].to_numpy()
+    n = len(r)
+    out = {"n_queries": n}
+    for kk in (1, 3, 5, 10):
+        out[f"acc{kk}"] = round(float(((r > 0) & (r <= kk)).mean()), 4)
+    rr = np.where(r > 0, 1.0 / np.maximum(r, 1), 0.0)
+    out["mrr10"] = round(float(rr.mean()), 4)
+    return pa.table(
+        {kk: pa.array([v], type=pa.int64() if kk == "n_queries" else pa.float64())
+         for kk, v in out.items()}
+    )
+
+
+def retrieval_threshold_metrics(sf_dir: str):
+    """F-beta sweep + ROC-AUC + bootstrap CI over the attach-vs-new
+    signal (reference evaluator.py battery; seeded bootstrap).
+    Output (metric, value) table; rows-only driver check."""
+    from stack_trace_deduplication_ray.eval.metrics import (
+        bootstrap_ci,
+        f_beta_sweep,
+        metrics_table,
+        roc_auc,
+    )
+
+    t = _first_correct_ranks(sf_dir).to_pandas()
+    scores = t["top_score"].to_numpy()
+    y = t["top1_match"].to_numpy().astype(np.int64)
+    out = dict(f_beta_sweep(scores, y))
+    auc = roc_auc(scores, y)
+    if not np.isnan(auc):
+        out["roc_auc"] = auc
+    mean, lo, hi = bootstrap_ci(y.astype(np.float64))
+    out["acc1_mean"] = mean
+    out["acc1_ci_lo"] = lo
+    out["acc1_ci_hi"] = hi
+    return metrics_table({k: round(v, 6) for k, v in out.items()})

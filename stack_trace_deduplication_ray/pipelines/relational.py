@@ -307,6 +307,37 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
     return partitioned_groups(ds, "user_id", sessions, DedupConfig())
 
 
+def events_prev_same_type(sf_dir: str, forget_minutes: int = 60):
+    """Chronological predecessor links with a forget window: for each
+    event, the most recent EARLIER event of the same type, kept only
+    when the gap is <= forget_minutes — the reference's time-ordered
+    candidate semantics ("a query only sees earlier reports",
+    ea/sim/main/data/buckets/event_state_model.py:106-121) with the
+    ReportTimeIssueSelector forget window (issues_selector.py:31-48)
+    as one vectorized shift per hash partition.
+
+    Output (event_id, prev_event_id) for linked events only."""
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.stages.joins import partitioned_groups
+
+    ds = read_table(sf_dir, "events", columns=["event_id", "event_type", "ts"])
+
+    def links(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["event_type", "ts", "event_id"], kind="stable")
+        same = g["event_type"].eq(g["event_type"].shift())
+        gap_ok = g["ts"].diff() <= pd.Timedelta(minutes=forget_minutes)
+        keep = (same & gap_ok).to_numpy()
+        prev = g["event_id"].shift().to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": g["event_id"].to_numpy()[keep].astype(np.int64),
+                "prev_event_id": prev[keep].astype(np.int64),
+            }
+        )
+
+    return partitioned_groups(ds, "event_type", links, DedupConfig())
+
+
 def systematic_sample(sf_dir: str, modulus: int = 10):
     """Deterministic systematic sample: doc_id % modulus == 0
     (K6 sampling analog with an exactly SQL-matchable rule)."""

@@ -102,6 +102,7 @@ def image_features(images_ds, cfg: DedupConfig | None = None):
 AUDIO_FEATURES_SCHEMA = pa.schema(
     [
         ("clip_id", pa.string()),
+        ("sample_rate", pa.int32()),
         ("n_samples", pa.int64()),
         ("rms", pa.float64()),
         ("zero_crossings", pa.int64()),
@@ -109,25 +110,27 @@ AUDIO_FEATURES_SCHEMA = pa.schema(
 )
 
 
-def _decode_audio(blob: bytes, fake: bool) -> np.ndarray:
-    """STUB: no audio codec in this environment.
-
-    With ``fake`` a deterministic PCM-ish signal is derived from the
-    payload bytes so the downstream plumbing is exercised end-to-end.
+def _decode_audio(blob: bytes, fake: bool) -> tuple[np.ndarray, int]:
+    """WAV/PCM16 decode is REAL (pure struct parsing — codecs.decode_wav);
+    other containers (mp3/ogg/flac) need codec libraries absent here
+    and either raise or, with ``fake``, derive a deterministic PCM-ish
+    signal from the payload bytes so the plumbing stays exercised.
     """
+    if len(blob) >= 12 and blob[:4] == b"RIFF" and blob[8:12] == b"WAVE":
+        return C.decode_wav(blob)
     if not fake:
         raise NotImplementedError(
-            "audio decoding requires an audio codec library not present "
+            "non-WAV audio decoding requires a codec library not present "
             "in this environment"
         )
     raw = np.frombuffer(blob, dtype=np.uint8).astype(np.float32)
-    return (raw - 127.5) / 127.5
+    return (raw - 127.5) / 127.5, 0
 
 
 class AudioFeatureExtractor:
-    """Actor stage: audio payloads -> (n_samples, rms, zero_crossings).
+    """Actor stage: audio payloads -> per-clip features.
 
-    Decode is stubbed (see _decode_audio); everything else is real.
+    WAV decode is real; see _decode_audio for other containers.
     """
 
     def __init__(self, allow_fake: bool = False):
@@ -136,15 +139,17 @@ class AudioFeatureExtractor:
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids = batch.column("clip_id").to_pylist()
         blobs = batch.column("bytes").to_pylist()
-        ns, rms, zc = [], [], []
+        sr, ns, rms, zc = [], [], [], []
         for blob in blobs:
-            x = _decode_audio(blob, self.allow_fake)
+            x, rate = _decode_audio(blob, self.allow_fake)
+            sr.append(rate)
             ns.append(len(x))
             rms.append(float(np.sqrt(np.mean(x**2))) if len(x) else 0.0)
             zc.append(int((np.diff(np.signbit(x)) != 0).sum()))
         return pa.table(
             {
                 "clip_id": pa.array(ids, type=pa.string()),
+                "sample_rate": pa.array(sr, type=pa.int32()),
                 "n_samples": pa.array(ns, type=pa.int64()),
                 "rms": pa.array(np.round(rms, 6), type=pa.float64()),
                 "zero_crossings": pa.array(zc, type=pa.int64()),

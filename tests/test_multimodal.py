@@ -37,11 +37,59 @@ def test_image_features_undecodable_row(ray_session):
     assert out.width.iloc[0] == 0
 
 
-def test_audio_stub_raises_without_fake():
+def test_audio_stub_raises_without_fake_for_non_wav():
     ex = mm.AudioFeatureExtractor(allow_fake=False)
     batch = pa.table({"clip_id": ["c1"], "bytes": [b"\x00\x01"]})
     with pytest.raises(NotImplementedError):
         ex(batch)
+
+
+def test_audio_wav_decode_real(ray_session):
+    """WAV/PCM16 parsing is pure struct — no allow_fake needed."""
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.functions import codecs as C
+
+    t = np.arange(16000, dtype=np.float64) / 16000.0
+    tone = 0.5 * np.sin(2 * np.pi * 440.0 * t)
+    silence = np.zeros(8000, dtype=np.float64)
+    ds = rd.from_items(
+        [
+            {"clip_id": "tone", "bytes": C.encode_wav(tone, 16000)},
+            {"clip_id": "quiet", "bytes": C.encode_wav(silence, 8000)},
+        ]
+    )
+    out = (
+        ds.map_batches(
+            mm.AudioFeatureExtractor,
+            batch_format="pyarrow",
+            concurrency=(1, 2),
+        )
+        .to_pandas()
+        .set_index("clip_id")
+    )
+    assert out.loc["tone", "sample_rate"] == 16000
+    assert out.loc["tone", "n_samples"] == 16000
+    # RMS of a 0.5-amplitude sine is 0.5/sqrt(2)
+    assert abs(out.loc["tone", "rms"] - 0.5 / np.sqrt(2)) < 1e-3
+    assert out.loc["tone", "zero_crossings"] > 800
+    assert out.loc["quiet", "rms"] == 0.0
+    assert out.loc["quiet", "sample_rate"] == 8000
+
+
+def test_wav_roundtrip_and_stereo_downmix():
+    from stack_trace_deduplication_ray.functions import codecs as C
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(-1, 1, 1000)
+    y, rate = C.decode_wav(C.encode_wav(x, 22050))
+    assert rate == 22050
+    assert len(y) == 1000
+    assert np.abs(y - x).max() < 1.0 / 32000  # PCM16 quantization bound
+    with pytest.raises(ValueError):
+        C.decode_wav(b"RIFFxxxxNOPE")
+    with pytest.raises(ValueError):
+        C.decode_wav(b"plainly not audio")
 
 
 def test_audio_fake_plumbing(ray_session):
