@@ -52,6 +52,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_dedup_clusters": text.minhash_dedup_clusters,
         "jaccard_pairs_by_source": text.jaccard_pairs_by_source,
         "substring_candidate_pairs": text.substring_candidate_pairs,
+        "report_dedup_clusters": text.report_dedup_clusters,
         # --- classic rankers (Lerch TF-IDF / FaST alignment) ----------
         "lerch_pair_scores": ranking.lerch_pair_scores,
         "fast_pair_scores": ranking.fast_pair_scores,
@@ -61,6 +62,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": analysis.quality_scores,
         "language_id": analysis.language_id,
         "fingerprints": analysis.fingerprints,
+        "bpe_token_counts": analysis.bpe_token_counts,
         # --- relational / aggregation / top-k (SURVEY §2.5, §2.7) ----
         "events_top_value_per_type": relational.events_top_value_per_type,
         "events_daily_user_agg": relational.events_daily_user_agg,

@@ -95,9 +95,6 @@ def bench_image_dedup(n_rows: int) -> tuple[float, int]:
     if n_rows > 50_000:
         d = materialize_fixture_sharded(n_rows, seed=42)
         images = rd.read_parquet([f"{d}/{f}" for f in sorted(__import__("os").listdir(d)) if f.startswith("images_")])
-        # large runs want more shuffle partitions than the small-run
-        # default (measured: 500k @32cpus is 248s with 2x-CPU
-        # partitions vs 337s with 1x)
         cpus = int(ray.cluster_resources().get("CPU", 8))
         cfg = DedupConfig(num_partitions=2 * cpus)
     else:

@@ -161,3 +161,78 @@ def fingerprints(sf_dir: str):
         )
 
     return ds.map_batches(fn, batch_format="pyarrow")
+
+
+class BpeStage:
+    """Actor-pool subword tokenizer: the trained merge table is fetched
+    ONCE per actor in __init__ (fit-once/apply-many — reference
+    BPETokenizer with persisted vocab, ea/sim/main/preprocess/
+    tokenizers/bpe.py:43-151) and the per-word memo lives in the
+    encoder (cached_encode pattern, s3m.py:64-80)."""
+
+    def __init__(self, merges_ref):
+        import ray
+
+        from stack_trace_deduplication_ray.functions.tokenize import BpeEncoder
+
+        self.enc = BpeEncoder(ray.get(merges_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch.column("text").to_pylist()
+        n_tok = np.empty(len(texts), dtype=np.int64)
+        n_sub = np.empty(len(texts), dtype=np.int64)
+        for i, t in enumerate(texts):
+            words = t.split()
+            n_tok[i] = len(words)
+            n_sub[i] = sum(len(self.enc.encode_word(w)) for w in words)
+        return pa.table(
+            {
+                "doc_id": batch.column("doc_id"),
+                "n_words": pa.array(n_tok),
+                "n_subwords": pa.array(n_sub),
+            }
+        )
+
+
+def bpe_token_counts(sf_dir: str, num_merges: int = 200, fit_sample_mod: int = 5):
+    """Subword (BPE) token counts per document: fit the merge table on
+    a deterministic hash-sample of the corpus (driver-side — the fit
+    corpus is the small side by construction; reference fits BPE on a
+    text dump the same way, bpe.py:97-111), broadcast it, and encode
+    every document in an actor pool.
+
+    Not SQL-expressible -> rows-only driver check; determinism is
+    unit-tested (tests/test_tokenize.py). Output (doc_id, n_words,
+    n_subwords)."""
+    import ray
+
+    from stack_trace_deduplication_ray.functions.tokenize import train_bpe
+    from stack_trace_deduplication_ray.stages.joins import resolve_actors
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def sample(batch: pa.Table) -> pa.Table:
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        return batch.filter(pa.array(ids % fit_sample_mod == 0))
+
+    fit_texts = [
+        r["text"]
+        for b in ds.map_batches(sample, batch_format="pyarrow").iter_batches(
+            batch_size=4096, batch_format="pyarrow"
+        )
+        for r in b.select(["text"]).to_pylist()
+    ]
+    merges = train_bpe(fit_texts, num_merges=num_merges)
+    merges_ref = ray.put(merges)
+
+    from stack_trace_deduplication_ray.config import DedupConfig
+
+    cfg = DedupConfig()
+    return ds.map_batches(
+        BpeStage,
+        fn_constructor_args=(merges_ref,),
+        batch_format="pyarrow",
+        batch_size=cfg.batch_size,
+        concurrency=(1, resolve_actors(cfg)),
+        num_cpus=1,
+    )

@@ -85,7 +85,7 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
     # ---- dual-axis representative collapse (one shuffle) -------------
     axes = [
         ("caption_hash", "exact_caption",
-         ["caption_norm", "minhash_sig", "n_shingles"]),
+         ["caption_norm", "bands", "n_shingles"]),
     ]
     if has_image:
         axes.append(("image_hash", "exact_image", ["simhash"]))
@@ -96,18 +96,22 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
 
     # ---- fused sketch stages over unique content (one candidate
     # shuffle + one verify join pair for ALL stages) -------------------
+    # sketch families resolve through the extension registry
+    # (registry.ExpansionSpec): a registered family runs by name via
+    # cfg.stages with salting / fused emission / verify plumbing
+    # inherited
+    from stack_trace_deduplication_ray import registry
+
     expansions = []
-    if "minhash" in stages:
+    for stage_name in stages:
+        if stage_name == "exact":
+            continue  # the collapse above IS the exact family
+        spec = registry.get("expansion", stage_name)
+        src = cap_reps if spec.source == "caption" else img_reps
+        if src is None:
+            continue
         expansions.append(
-            (cap_reps, lambda s: ex.expand_minhash(s, cfg), "minhash")
-        )
-    if "simhash" in stages and has_image:
-        expansions.append(
-            (img_reps, lambda s: ex.expand_simhash(s, cfg), "simhash")
-        )
-    if "substring" in stages:
-        expansions.append(
-            (cap_reps, lambda s: ex.expand_substring(s, cfg), "substring")
+            (src, (lambda sp: lambda s: sp.build(s, cfg))(spec), stage_name)
         )
 
     if expansions:

@@ -282,3 +282,47 @@ def substring_candidate_pairs(sf_dir: str, cfg: DedupConfig = TEXT_DEDUP_CONFIG)
         verified.map_batches(conv, batch_format="pyarrow"),
         pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
     )
+
+
+def report_dedup_clusters(sf_dir: str):
+    """Raw V1/V0 JSON report ingestion -> dedup clusters end-to-end
+    (S3/S4 source operators + the text engine): a deterministic raw
+    report fixture sized by sf is written under /tmp, ingested with
+    sources.reports.read_reports (binary-file source + vectorized
+    parse + MethodNameUnifier), and clustered. Output
+    (report_id, cluster_id); rows-only driver check (raw-file
+    ingestion has no SQL view)."""
+    import os
+
+    from stack_trace_deduplication_ray.pipelines.dedup import run_dedup
+    from stack_trace_deduplication_ray.sources.reports import (
+        read_reports,
+        reports_as_documents,
+        write_reports_fixture,
+    )
+
+    n = 60 if "0.001" in sf_dir else (240 if "0.01" in sf_dir else 960)
+    d = f"/tmp/stack_dedup_fixtures/reports_{n}"
+    if not os.path.exists(os.path.join(d, "_DONE")):
+        write_reports_fixture(d, n=n, seed=7)
+        open(os.path.join(d, "_DONE"), "w").close()
+    docs = reports_as_documents(read_reports(d))
+    res = run_dedup(
+        docs, DedupConfig(stages=("exact", "minhash")), has_image=False
+    )
+
+    def conv(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "report_id": pa.array(
+                    [int(x) for x in batch.column("image_id").to_pylist()],
+                    type=pa.int64(),
+                ),
+                "cluster_id": pa.array(
+                    [int(x) for x in batch.column("cluster_id").to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return res["clusters"].map_batches(conv, batch_format="pyarrow")

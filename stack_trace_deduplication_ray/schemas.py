@@ -42,7 +42,7 @@ SIGNATURES = pa.schema(
         ("exact_hash", pa.uint64()),
         ("image_hash", pa.uint64()),
         ("simhash", pa.uint64()),
-        ("minhash_sig", pa.list_(pa.uint64())),
+        ("bands", pa.list_(pa.int64(), 16)),  # LSH band keys (int64 bit-cast)
         ("n_shingles", pa.int32()),
     ]
 )

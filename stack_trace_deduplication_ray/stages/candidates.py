@@ -108,11 +108,13 @@ def _find_hot_buckets(expanded, cap: int, stage: str, cfg: DedupConfig):
 
     One map pass over the expansion: each batch hash-samples its rows
     at rate 1/mod (deterministic on image_id), counts the sampled
-    buckets with np.unique, and emits only buckets sampled >= 2 times
-    in the batch (a truly hot bucket is sampled many times per batch;
-    the floor bounds the partial tables the driver merges). Estimated
-    bucket size = total sampled count x mod. mod=1 degenerates to the
-    exact count (used by tests asserting salted == unsalted).
+    buckets with np.unique, and the driver merges the partial tables.
+    Estimated bucket size = total sampled count x mod. The result is
+    independent of batching/parallelism (same sample -> same sums), so
+    8-CPU and 32-CPU runs salt identically. The driver-side merge is
+    bounded by the sample size — raise `mod` with corpus size
+    (~rows/1e5) to keep it O(sample). mod=1 degenerates to the exact
+    count (used by tests asserting salted == unsalted).
     """
     mod = cfg.hot_sample_mod if cfg.hot_sample_mod else 16
 
@@ -123,9 +125,6 @@ def _find_hot_buckets(expanded, cap: int, stage: str, cfg: DedupConfig):
             mask = H.hash_bytes_arrays(ids, seed=0xA11CE) % U64(mod) == 0
             b = b[mask]
         vals, cnts = np.unique(b, return_counts=True)
-        if mod > 1:
-            keep = cnts >= 2
-            vals, cnts = vals[keep], cnts[keep]
         return pa.table(
             {
                 "bucket": pa.array(vals.astype(np.int64)),
@@ -147,9 +146,6 @@ def _find_hot_buckets_presampled(sampled, cap: int, stage: str, mod: int):
     def partial_counts(batch: pa.Table) -> pa.Table:
         b = batch.column("bucket").to_numpy(zero_copy_only=False)
         vals, cnts = np.unique(b, return_counts=True)
-        if mod > 1:
-            keep = cnts >= 2
-            vals, cnts = vals[keep], cnts[keep]
         return pa.table(
             {
                 "bucket": pa.array(vals.astype(np.int64)),
@@ -408,6 +404,15 @@ _STAGE_SEEDS = {
 }
 
 
+def _stage_seed(stage: str) -> U64:
+    """Key-space seed for a stage; registry-added custom families get
+    a deterministic seed derived from their name."""
+    s = _STAGE_SEEDS.get(stage)
+    if s is None:
+        s = U64(H.hash_bytes_arrays([stage], seed=0x57A6)[0])
+    return s
+
+
 def _mix_keys(keys_i64: np.ndarray, seed: U64) -> np.ndarray:
     with np.errstate(over="ignore"):
         return H.splitmix64(keys_i64.view(U64) ^ seed).view(np.int64)
@@ -442,7 +447,7 @@ def fused_pairs_from_buckets(
     """
 
     def tag(stage: str, has_simhash: bool):
-        seed = _STAGE_SEEDS[stage]
+        seed = _stage_seed(stage)
 
         def fn(batch: pa.Table) -> pa.Table:
             b = batch.column("bucket").to_numpy(zero_copy_only=False)
@@ -496,6 +501,9 @@ def fused_pairs_from_buckets(
             _salt_fn(hot_ref, cfg.salt_target, extra_cols=("simhash", "stage")),
             batch_format="pyarrow",
         )
+        # both the pair emission AND the bridge pass consume `salted`;
+        # materialize so the expansion + salt maps run once, not twice
+        salted = salted.materialize()
     else:
         salted = tagged
 
@@ -579,7 +587,7 @@ def collapse_dual(sigs, axes, cfg: DedupConfig):
     col_types = dict(zip(sch.names, sch.types))
 
     def tagger(key_col: str, stage_name: str, rep_cols: list[str]):
-        seed = _STAGE_SEEDS[stage_name]
+        seed = _stage_seed(stage_name)
 
         def fn(batch: pa.Table) -> pa.Table:
             n = len(batch)

@@ -47,15 +47,14 @@ def expand_exact(sigs_ds):
 
 def expand_minhash(sigs_ds, cfg: DedupConfig):
     def fn(batch: pa.Table) -> pa.Table:
-        sig_col = batch.column("minhash_sig")
-        flat = sig_col.combine_chunks().flatten().to_numpy(
+        band_col = batch.column("bands")
+        flat = band_col.combine_chunks().flatten().to_numpy(
             zero_copy_only=False
-        ).view(U64)
+        )
         n = len(batch)
-        sig = flat.reshape(n, cfg.num_perm)
-        keys = H.band_keys(sig, cfg.bands, cfg.rows_per_band)
-        # rows with no shingles carry all-MAX signatures; drop them so
-        # empty captions never collide
+        keys = flat.reshape(n, cfg.bands).view(U64)
+        # rows with no shingles carry all-MAX signatures (identical
+        # band keys); drop them so empty captions never collide
         nonempty = (
             batch.column("n_shingles").to_numpy(zero_copy_only=False) > 0
         )
@@ -63,7 +62,7 @@ def expand_minhash(sigs_ds, cfg: DedupConfig):
         return _expand_table(ids[nonempty], keys[nonempty])
 
     return sigs_ds.select_columns(
-        ["image_id", "minhash_sig", "n_shingles"]
+        ["image_id", "bands", "n_shingles"]
     ).map_batches(fn, batch_format="pyarrow")
 
 

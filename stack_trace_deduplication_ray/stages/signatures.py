@@ -70,35 +70,39 @@ class SignatureStage:
         sh, offs = H.shingle_hashes(norm, cfg.shingle_k)
         sig = H.minhash_signatures(sh, offs, self.a, self.b)
         n_shingles = np.diff(offs).astype(np.int32)
+        # reduce the 128-perm signature to its LSH band keys HERE:
+        # downstream only ever buckets on band keys, so the table
+        # carries 16 x 8 B per row instead of the 1 KB signature — 8x
+        # less through every collapse/feature shuffle
+        bands = H.band_keys(sig, cfg.bands, cfg.rows_per_band)
 
         simhash = batch.column("phash").to_numpy(zero_copy_only=False).astype(
             np.int64
         )
 
         # decode ONCE per row here (actor pool); downstream PSNR verify
-        # compares these 16x16 gray thumbnails (1 KB) instead of
-        # shipping the full payload bytes through a join shuffle.
+        # compares these 16x16 gray thumbnails (256 B as uint8) instead
+        # of shipping the full payload bytes through a join shuffle.
         fmts = batch.column("fmt").to_pylist()
         blobs = batch.column("bytes").to_pylist()
-        thumbs = np.zeros((len(blobs), 256), dtype=np.float32)
+        thumbs = np.zeros((len(blobs), 256), dtype=np.uint8)
         decode_ok = np.zeros(len(blobs), dtype=bool)
         for i, (blob, fmt) in enumerate(zip(blobs, fmts)):
             try:
                 px = C.decode_image(blob, fmt)
             except Exception:
                 continue  # undecodable payload: thumb stays zero
-            thumbs[i] = C.resize_area(C.to_gray(px), 16, 16).astype(
-                np.float32
-            ).reshape(-1)
+            thumbs[i] = np.clip(
+                np.round(C.resize_area(C.to_gray(px), 16, 16)), 0, 255
+            ).astype(np.uint8).reshape(-1)
             decode_ok[i] = True
 
-        n, num_perm = sig.shape
+        n, n_bands = bands.shape
         # all hash columns are stored as int64 (bit-cast): Ray's
         # groupby/shuffle round-trips keys through Python ints, and
         # uint64 values above 2^63 overflow the Arrow int64 rebuild.
-        sig_list = pa.ListArray.from_arrays(
-            pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)),
-            pa.array(sig.reshape(-1).view(np.int64)),
+        bands_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(bands.reshape(-1).view(np.int64)), n_bands
         )
         return pa.table(
             {
@@ -108,7 +112,7 @@ class SignatureStage:
                 "image_hash": pa.array(image_hash.view(np.int64)),
                 "exact_hash": pa.array(exact_hash.view(np.int64)),
                 "simhash": pa.array(simhash),
-                "minhash_sig": sig_list,
+                "bands": bands_list,
                 "n_shingles": pa.array(n_shingles),
                 "thumb": pa.FixedSizeListArray.from_arrays(
                     pa.array(thumbs.reshape(-1)), 256
@@ -125,10 +129,11 @@ def signature_stage(images_ds, cfg: DedupConfig, has_image: bool = True):
         fn_constructor_args=(cfg,),
         batch_format="pyarrow",
         batch_size=cfg.image_batch_size if has_image else cfg.batch_size,
-        # autoscaling pool starting at 1 actor: a fixed pool sized to
-        # every CPU would starve the read stage (deadlock); the max
-        # scales with the cluster so big sessions actually use it
-        concurrency=(1, resolve_actors(cfg)),
+        # fixed pool at (cluster CPUs - 2): decode is the dominant
+        # CPU-bound stage and the autoscaler's ramp was measured to
+        # cost ~20% of stage wall time at 500k rows; two CPUs stay
+        # free for the feeding read tasks (no starvation)
+        concurrency=resolve_actors(cfg),
         num_cpus=1,
     )
 
@@ -147,10 +152,10 @@ class TextSignatureStage(SignatureStage):
         caption_hash = H.hash_bytes_arrays(norm, seed=1)
         sh, offs = H.shingle_hashes(norm, cfg.shingle_k)
         sig = H.minhash_signatures(sh, offs, self.a, self.b)
-        n, num_perm = sig.shape
-        sig_list = pa.ListArray.from_arrays(
-            pa.array(np.arange(0, (n + 1) * num_perm, num_perm, dtype=np.int32)),
-            pa.array(sig.reshape(-1).view(np.int64)),
+        bands = H.band_keys(sig, cfg.bands, cfg.rows_per_band)
+        n, n_bands = bands.shape
+        bands_list = pa.FixedSizeListArray.from_arrays(
+            pa.array(bands.reshape(-1).view(np.int64)), n_bands
         )
         ch64 = caption_hash.view(np.int64)
         return pa.table(
@@ -159,7 +164,7 @@ class TextSignatureStage(SignatureStage):
                 "caption_norm": pa.array(norm, type=pa.string()),
                 "caption_hash": pa.array(ch64),
                 "exact_hash": pa.array(ch64),  # text-only exact key
-                "minhash_sig": sig_list,
+                "bands": bands_list,
                 "n_shingles": pa.array(np.diff(offs).astype(np.int32)),
             }
         )

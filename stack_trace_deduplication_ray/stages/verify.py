@@ -269,7 +269,10 @@ def verify_fused(edges, sigs, cfg: DedupConfig, has_image: bool):
         keep = np.zeros(n, dtype=bool)
         sc = np.zeros(n, dtype=np.float64)
 
-        mh_idx = np.nonzero(st == "minhash")[0]
+        # registry-added custom families default to the conservative
+        # set-similarity criterion (exact caption Jaccard), same as
+        # minhash
+        mh_idx = np.nonzero((st != "substring") & (st != "simhash"))[0]
         ss_idx = np.nonzero(st == "substring")[0]
         if len(mh_idx) or len(ss_idx):
             cap_a = batch.column("caption_norm_src").to_pylist()

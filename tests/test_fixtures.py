@@ -67,3 +67,16 @@ def test_materialize_fixture_cached(tmp_path):
     assert d1 == d2
     t = pq.read_table(f"{d1}/images.parquet")
     assert t.num_rows == 100
+
+
+def test_shuffled_loader(ray_session):
+    """K7 shuffled-loader analog: seeded random_shuffle preserves the
+    row multiset and is deterministic for a fixed seed + layout."""
+    import ray.data as rd
+
+    ds = rd.range(1000)
+    s1 = [r["id"] for r in ds.random_shuffle(seed=42).take_all()]
+    s2 = [r["id"] for r in ds.random_shuffle(seed=42).take_all()]
+    assert sorted(s1) == list(range(1000))
+    assert s1 == s2
+    assert s1 != list(range(1000))
