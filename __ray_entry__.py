@@ -50,9 +50,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "exact_dedup_keep_first": text.exact_dedup_keep_first,
         "corpus_stats": text.corpus_stats,
         "minhash_dedup_clusters": text.minhash_dedup_clusters,
+        "simhash_text_clusters": text.simhash_text_clusters,
         "jaccard_pairs_by_source": text.jaccard_pairs_by_source,
         "substring_candidate_pairs": text.substring_candidate_pairs,
         "report_dedup_clusters": text.report_dedup_clusters,
+        "cross_segment_new_docs": text.cross_segment_new_docs,
         # --- classic rankers (Lerch TF-IDF / FaST alignment) ----------
         "lerch_pair_scores": ranking.lerch_pair_scores,
         "fast_pair_scores": ranking.fast_pair_scores,
@@ -95,6 +97,13 @@ def oracle_sql() -> dict[str, str]:
         "corpus_stats": """
             SELECT count(*) AS n_rows, count(DISTINCT text) AS n_unique
             FROM documents
+        """,
+        "cross_segment_new_docs": """
+            SELECT d.doc_id FROM documents d
+            WHERE d.source != 'src0'
+              AND d.text NOT IN (
+                  SELECT text FROM documents WHERE source = 'src0'
+              )
         """,
         "jaccard_pairs_by_source": """
             WITH tok AS (

@@ -56,6 +56,8 @@ def _consume(res) -> int:
 def headline_queries():
     from stack_trace_deduplication_ray.pipelines import (
         analysis,
+        evaluation,
+        ranking,
         relational,
         similarity,
         text,
@@ -71,6 +73,9 @@ def headline_queries():
         "events_daily_user_agg": relational.events_daily_user_agg,
         "knn_brute_force": similarity.knn_brute_force,
         "lsh_near_pairs": similarity.lsh_near_pairs,
+        "ann_recall": similarity.ann_recall,
+        "lerch_pair_scores": ranking.lerch_pair_scores,
+        "retrieval_rank_metrics": evaluation.retrieval_rank_metrics,
     }
 
 
@@ -95,8 +100,10 @@ def bench_image_dedup(n_rows: int) -> tuple[float, int]:
     if n_rows > 50_000:
         d = materialize_fixture_sharded(n_rows, seed=42)
         images = rd.read_parquet([f"{d}/{f}" for f in sorted(__import__("os").listdir(d)) if f.startswith("images_")])
-        cpus = int(ray.cluster_resources().get("CPU", 8))
-        cfg = DedupConfig(num_partitions=2 * cpus)
+        # fused pipeline: 1x-CPU shuffle partitions measured faster
+        # than 2x at 500k rows (158 s vs 194 s @32 CPUs) — fewer,
+        # larger exchanges since the stage fusion
+        cfg = DedupConfig()
     else:
         d = materialize_fixture(n_rows, seed=42)
         images = rd.read_parquet(f"{d}/images.parquet")

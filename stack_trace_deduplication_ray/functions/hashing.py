@@ -241,3 +241,34 @@ def simhash_chunk_keys(simhash: np.ndarray, chunks: int) -> np.ndarray:
             chunk = (simhash >> U64(c * width)) & mask
             cols.append(splitmix64(chunk ^ (U64(c) * _SM_GAMMA)))
     return np.stack(cols, axis=1)
+
+
+def simhash_from_token_hashes(
+    hashes: np.ndarray, offsets: np.ndarray
+) -> np.ndarray:
+    """Segmented 64-bit SimHash (Charikar bit-vote) per row.
+
+    hashes: uint64[total] concatenated per-row token hashes;
+    offsets: int64[n+1]. Each row's simhash bit b is the sign of the
+    vote sum over its tokens' bit b. Fully vectorized: unpack to a
+    (total, 64) ±1 matrix, segment-sum with add.reduceat, re-pack.
+    Empty rows hash to 0.
+    """
+    n = len(offsets) - 1
+    if n == 0:
+        return np.empty(0, dtype=U64)
+    if len(hashes) == 0:
+        return np.zeros(n, dtype=U64)
+    bits = np.unpackbits(
+        hashes.astype(U64).view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1,
+        bitorder="little",
+    ).astype(np.int8)
+    votes = bits * 2 - 1  # {0,1} -> {-1,+1}
+    # sentinel row so every offsets[:-1] index is valid (empty rows)
+    votes = np.vstack([votes, np.zeros((1, 64), dtype=np.int8)])
+    sums = np.add.reduceat(votes.astype(np.int32), offsets[:-1], axis=0)
+    nonempty = np.diff(offsets) > 0
+    sums[~nonempty] = -1  # empty rows -> all bits 0
+    out_bits = (sums > 0).astype(np.uint8)
+    packed = np.packbits(out_bits, axis=1, bitorder="little")
+    return packed[:, ::-1].copy().view(">u8").astype(U64).reshape(-1)

@@ -326,3 +326,135 @@ def report_dedup_clusters(sf_dir: str):
         )
 
     return res["clusters"].map_batches(conv, batch_format="pyarrow")
+
+
+def cross_segment_new_docs(sf_dir: str, train_source: str = "src0"):
+    """Cross-segment hash anti-join: documents outside the train
+    segment whose text hash never appeared INSIDE it — the reference's
+    mine-time dedup (FinalStateReportMiner.mine drops test rows whose
+    hash was seen in train, ea/sim/dev/scripts/data/dataset/common/
+    miners/final_state.py:24-36; with_dup_attach=False filter,
+    event_state_model.py:94-104).
+
+    The train segment's hash set is the SMALL side by construction ->
+    broadcast (ray.put) + vectorized membership mask per batch; at
+    segment sizes where that breaks, the same predicate is one
+    join_ds left-outer + null filter. Output (doc_id), ★ oracle.
+    """
+    import ray
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+
+    def train_hashes(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        t = batch.filter(pc.equal(batch.column("source"), train_source))
+        h = H.hash_bytes_arrays(t.column("text").to_pylist(), seed=3)
+        return pa.table({"h": pa.array(np.unique(h).view(np.int64))})
+
+    seen = np.unique(
+        np.concatenate(
+            [
+                b.column("h").to_numpy(zero_copy_only=False)
+                for b in ds.map_batches(
+                    train_hashes, batch_format="pyarrow"
+                ).iter_batches(batch_size=65536, batch_format="pyarrow")
+            ]
+            or [np.empty(0, dtype=np.int64)]
+        )
+    )
+    ref = ray.put(seen)
+
+    def anti(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        train_seen = ray.get(ref)
+        t = batch.filter(
+            pc.not_equal(batch.column("source"), train_source)
+        )
+        h = H.hash_bytes_arrays(t.column("text").to_pylist(), seed=3).view(
+            np.int64
+        )
+        pos = np.searchsorted(train_seen, h)
+        pos_c = np.minimum(pos, max(len(train_seen) - 1, 0))
+        new = (
+            train_seen[pos_c] != h
+            if len(train_seen)
+            else np.ones(len(h), dtype=bool)
+        )
+        return pa.table({"doc_id": t.column("doc_id").filter(pa.array(new))})
+
+    return ds.map_batches(anti, batch_format="pyarrow")
+
+
+def simhash_text_clusters(sf_dir: str, cfg: DedupConfig | None = None):
+    """Text near-dup clustering by 64-bit token SimHash (Charikar
+    bit-vote) — the classic low-cost dedup family alongside
+    MinHash-LSH: token-hash bit votes -> chunk-probed buckets with the
+    in-bucket Hamming(<= radius) test (pigeonhole-complete, same
+    machinery as the image side) -> connected components.
+    Output (doc_id, cluster_id); rows-only driver check (not
+    SQL-expressible)."""
+    from stack_trace_deduplication_ray.stages import candidates as cand
+    from stack_trace_deduplication_ray.stages import cc as cc_mod
+
+    cfg = cfg or DedupConfig()
+    ds = _docs_as_engine_input(sf_dir)
+
+    def sig(batch: pa.Table) -> pa.Table:
+        caps = batch.column("caption").to_pylist()
+        toks = [c.split() for c in caps]
+        lens = np.fromiter(map(len, toks), dtype=np.int64, count=len(toks))
+        offs = np.zeros(len(toks) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = (
+            np.concatenate([H.hash_bytes_arrays(t) for t in toks if len(t)])
+            if lens.sum()
+            else np.empty(0, dtype=np.uint64)
+        )
+        sh = H.simhash_from_token_hashes(flat, offs)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id"),
+                "simhash": pa.array(sh.view(np.int64)),
+            }
+        )
+
+    sigs = ds.map_batches(sig, batch_format="pyarrow").materialize()
+
+    def expand(batch: pa.Table) -> pa.Table:
+        sh = batch.column("simhash").to_numpy(zero_copy_only=False).view(
+            np.uint64
+        )
+        keys = H.simhash_chunk_keys(sh, cfg.simhash_chunks)
+        n, k = keys.shape
+        ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+        return pa.table(
+            {
+                "bucket": pa.array(keys.reshape(-1).view(np.int64)),
+                "image_id": pa.array(np.repeat(ids, k)),
+                "simhash": pa.array(np.repeat(sh.view(np.int64), k)),
+            }
+        )
+
+    edges, _ = cand.simhash_pairs_from_buckets(
+        sigs.map_batches(expand, batch_format="pyarrow"), "simhash", cfg
+    )
+    edges = cand.dedup_edges(edges, cfg).materialize()
+    clusters = cc_mod.assign_clusters(ds.select_columns(["image_id"]), edges, cfg)
+
+    def conv(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": pa.array(
+                    [int(x) for x in batch.column("image_id").to_pylist()],
+                    type=pa.int64(),
+                ),
+                "cluster_id": pa.array(
+                    [int(x) for x in batch.column("cluster_id").to_pylist()],
+                    type=pa.int64(),
+                ),
+            }
+        )
+
+    return clusters.map_batches(conv, batch_format="pyarrow")

@@ -158,3 +158,31 @@ def test_prefix_filter_jaccard_equals_brute_force():
                 if jac >= thr:
                     exp.add((int(ids[a]), int(ids[b]), round(jac, 6)))
         assert got == exp, f"threshold {thr}: {len(got)} vs {len(exp)}"
+
+
+def test_simhash_from_token_hashes():
+    """Charikar bit-vote SimHash: identical token multisets collide,
+    small edits stay within a few bits, unrelated texts are far."""
+    def sh(texts):
+        toks = [t.split() for t in texts]
+        lens = np.fromiter(map(len, toks), dtype=np.int64, count=len(toks))
+        offs = np.zeros(len(toks) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = (
+            np.concatenate([H.hash_bytes_arrays(t) for t in toks if len(t)])
+            if lens.sum() else np.empty(0, dtype=np.uint64)
+        )
+        return H.simhash_from_token_hashes(flat, offs)
+
+    a = "the quick brown fox jumps over a lazy dog " * 5
+    b = a.replace("lazy", "busy")
+    c = "completely different words entirely here now then " * 5
+    s = sh([a, a, b, c, ""])
+    assert s[0] == s[1]
+    near = H.hamming64(s[0:1], s[2:3])[0]
+    far = H.hamming64(s[0:1], s[3:4])[0]
+    assert near <= 10 < far
+    assert s[4] == 0  # empty row
+    # batch-composition independent (segment sums don't leak)
+    s2 = sh([a])
+    assert s2[0] == s[0]
