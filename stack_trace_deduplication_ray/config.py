@@ -41,6 +41,15 @@ class DedupConfig:
     # share at least one exact chunk when hamming_radius < chunks
     # (pigeonhole), so chunk-equality groupby is a complete candidate
     # generator for that radius.
+    #
+    # SCALE NOTE: each chunk is 64/chunks bits wide, so random
+    # collisions per chunk bucket grow ~ n / 2^(64/chunks) — at 4
+    # chunks (16-bit) the space saturates around 10^6-10^7 rows
+    # (measured: ~9k salted hot buckets at 1M rows; the salting
+    # machinery absorbs it, but candidate volume grows). Past that,
+    # trade radius for width: 2 chunks (32-bit) with radius 1, or
+    # multi-probe (emit the chunk value plus its 1-bit flips) to keep
+    # a larger effective radius at 32-bit widths.
     simhash_chunks: int = 4
     hamming_radius: int = 3
     psnr_threshold_db: float = 40.0  # per input_hint: PSNR>=40dB for lossy

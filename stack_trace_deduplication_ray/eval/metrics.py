@@ -198,3 +198,26 @@ def roc_auc(scores: np.ndarray, labels: np.ndarray) -> float:
     r_pos = ranks[labels == 1].sum()
     u = r_pos - n_pos * (n_pos + 1) / 2.0
     return float(u / (n_pos * n_neg))
+
+
+def pair_recall_fast(clusters_df: pd.DataFrame, truth_df: pd.DataFrame) -> dict:
+    """Vectorized dup-pair recall/precision (no per-pair loops):
+    truth pairs = sum C(size,2) over truth clusters; found pairs =
+    sum C(k,2) over (truth_cluster x predicted_cluster) intersections;
+    predicted pairs analogously. Exactly dup_pair_metrics' recall and
+    precision, O(n) — usable at bench scale (500k+ rows)."""
+
+    def pairs_of(sizes: pd.Series) -> float:
+        s = sizes.to_numpy(dtype=np.float64)
+        return float((s * (s - 1) / 2).sum())
+
+    m = truth_df.merge(clusters_df, on="image_id", suffixes=("_t", "_p"))
+    truth_pairs = pairs_of(m.groupby("cluster_id_t").size())
+    pred_pairs = pairs_of(m.groupby("cluster_id_p").size())
+    joint_pairs = pairs_of(m.groupby(["cluster_id_t", "cluster_id_p"]).size())
+    return {
+        "recall": joint_pairs / truth_pairs if truth_pairs else 1.0,
+        "precision": joint_pairs / pred_pairs if pred_pairs else 1.0,
+        "truth_pairs": int(truth_pairs),
+        "predicted_pairs": int(pred_pairs),
+    }

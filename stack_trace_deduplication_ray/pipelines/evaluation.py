@@ -80,15 +80,29 @@ def _first_correct_ranks(sf_dir: str, k: int = 10):
 
 def retrieval_rank_metrics(sf_dir: str, k: int = 10):
     """Accuracy@{1,3,5,10} + MRR@10 over the cosine top-10 per query.
-    Output one row, floats rounded 4 (DuckDB oracle ★)."""
-    t = _first_correct_ranks(sf_dir, k).to_pandas()
-    r = t["rank"].to_numpy()
-    n = len(r)
+    Aggregated DISTRIBUTED: each batch reduces its ranks to partial
+    (count, hits@k, rr) sums and only the one-row partials meet the
+    driver. Output one row, floats rounded 4 (DuckDB oracle ★)."""
+
+    def partials(batch: pa.Table) -> pa.Table:
+        r = batch.column("rank").to_numpy(zero_copy_only=False)
+        cols = {"n": pa.array([len(r)], type=pa.int64())}
+        for kk in (1, 3, 5, 10):
+            cols[f"h{kk}"] = pa.array(
+                [int(((r > 0) & (r <= kk)).sum())], type=pa.int64()
+            )
+        rr = np.where(r > 0, 1.0 / np.maximum(r, 1), 0.0)
+        cols["rr"] = pa.array([float(rr.sum())], type=pa.float64())
+        return pa.table(cols)
+
+    p = _first_correct_ranks(sf_dir, k).map_batches(
+        partials, batch_format="pyarrow"
+    ).to_pandas().sum()
+    n = int(p["n"])
     out = {"n_queries": n}
     for kk in (1, 3, 5, 10):
-        out[f"acc{kk}"] = round(float(((r > 0) & (r <= kk)).mean()), 4)
-    rr = np.where(r > 0, 1.0 / np.maximum(r, 1), 0.0)
-    out["mrr10"] = round(float(rr.mean()), 4)
+        out[f"acc{kk}"] = round(float(p[f"h{kk}"] / n), 4)
+    out["mrr10"] = round(float(p["rr"] / n), 4)
     return pa.table(
         {kk: pa.array([v], type=pa.int64() if kk == "n_queries" else pa.float64())
          for kk, v in out.items()}
@@ -98,7 +112,12 @@ def retrieval_rank_metrics(sf_dir: str, k: int = 10):
 def retrieval_threshold_metrics(sf_dir: str):
     """F-beta sweep + ROC-AUC + bootstrap CI over the attach-vs-new
     signal (reference evaluator.py battery; seeded bootstrap).
-    Output (metric, value) table; rows-only driver check."""
+    Output (metric, value) table; rows-only driver check.
+
+    The per-query (score, label) pairs are collected to the driver:
+    the sweep/AUC/bootstrap need the full sorted score vector, and at
+    one row per QUERY the vector is the small side by construction
+    (same driver-side design as the reference's Evaluator)."""
     from stack_trace_deduplication_ray.eval.metrics import (
         bootstrap_ci,
         f_beta_sweep,

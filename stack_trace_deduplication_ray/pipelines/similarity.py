@@ -129,7 +129,7 @@ class HyperplaneLSH:
 def lsh_near_pairs(
     sf_dir: str,
     threshold: float = 0.4,
-    n_bits: int = 4,
+    n_bits: int | None = None,
     n_tables: int = 16,
     bucket_cap: int = 2000,
 ):
@@ -139,10 +139,13 @@ def lsh_near_pairs(
     joins (pair dedup folded into the first) -> vectorized rowwise
     cosine. The embedding matrix is NEVER pulled to the driver.
 
-    (n_bits, n_tables) are tuned to the threshold: P(bit agrees) =
-    1 - arccos(cos)/pi, so at cos=0.4 a 4-bit table matches with
-    p~0.16 and 16 tables give ~0.94 expected candidate recall
-    (measured by the ann_recall query). Buckets larger than
+    (n_bits, n_tables) trade candidate volume for recall: P(bit
+    agrees) = 1 - arccos(cos)/pi, so at cos=0.4 a 4-bit table matches
+    with p~0.16 and 16 tables give ~0.94 expected candidate recall
+    (measured by the ann_recall query). n_bits=None auto-sizes to the
+    table: ~2^bits = n/64 target bucket occupancy (floor 4) — the
+    standard volume/recall dial; within-bucket all-pairs work is
+    otherwise quadratic in occupancy. Buckets larger than
     `bucket_cap` are truncated WITH A LOG LINE (never silently).
 
     Output (src, dst, cos) rounded 4, src < dst. Approximate ->
@@ -161,6 +164,9 @@ def lsh_near_pairs(
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     first = next(iter(ds.limit(1).iter_batches(batch_size=1, batch_format="pyarrow")))
     dim = len(first.column("embedding")[0])
+    if n_bits is None:
+        n_vec = ds.count()
+        n_bits = max(4, int(np.ceil(np.log2(max(2, n_vec / 64)))))
 
     buckets = ds.map_batches(
         HyperplaneLSH,
@@ -229,11 +235,15 @@ def lsh_near_pairs(
             }
         )
 
-    pairs_s = pairs.map_batches(key_str, batch_format="pyarrow")
+    # stage boundaries are materialized: Ray's streaming executor was
+    # measured 3x slower running the bucket->pairs->join->join chain as
+    # one graph than staged (50 s vs 14 s at 2k vectors x 16 tables);
+    # the pair table is narrow, so the boundary is cheap
+    pairs_s = pairs.map_batches(key_str, batch_format="pyarrow").materialize()
     j1 = join_ds(
         pairs_s, emb_src, "src", "__vid_src", cfg,
         dedup_left=["src", "dst"],
-    )
+    ).materialize()
     j2 = join_ds(j1, emb_dst, "dst", "__vid_dst", cfg)
 
     def score(batch: pa.Table) -> pa.Table:

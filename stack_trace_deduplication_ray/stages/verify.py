@@ -34,6 +34,7 @@ U64 = np.uint64
 def attach_pair_features(
     edges, feats, cfg: DedupConfig, suffixes=("_src", "_dst"),
     dedup_pairs: bool = False, dedup_cols: list[str] | None = None,
+    stage_boundary: bool = True,
 ):
     """edges(src, dst, ...) x feats(image_id, f...) -> one row per edge
     with f_src / f_dst columns (two partitioned hash joins; feature
@@ -41,7 +42,12 @@ def attach_pair_features(
 
     dedup_pairs=True folds global candidate dedup (on `dedup_cols`,
     default (src, dst)) into the first join (partitioned on src),
-    saving a dedicated shuffle."""
+    saving a dedicated shuffle.
+
+    stage_boundary=True materializes between the two joins: Ray's
+    streaming executor was measured 2-3x slower running chained
+    AllToAll exchanges as one graph than staged (verify at 100k rows:
+    9.5 s streamed vs 5.7 s staged)."""
     feat_cols = [c for c in feats.schema().names if c != "image_id"]
 
     def renamer(suffix):
@@ -58,6 +64,8 @@ def attach_pair_features(
         edges, f_src, "src", "__fid" + suffixes[0], cfg,
         dedup_left=(dedup_cols or ["src", "dst"]) if dedup_pairs else None,
     )
+    if stage_boundary:
+        j1 = j1.materialize()
     f_dst = feats.map_batches(renamer(suffixes[1]), batch_format="pyarrow")
     return join_ds(j1, f_dst, "dst", "__fid" + suffixes[1], cfg)
 
@@ -253,9 +261,13 @@ def verify_fused(edges, sigs, cfg: DedupConfig, has_image: bool):
     if has_image:
         cols += ["thumb", "decode_ok"]
     feats = sigs.select_columns(cols)
+    # stage_boundary=False: the post-join1 table is the WIDEST
+    # intermediate of the whole pipeline (pairs x thumbnails);
+    # materializing it helps small corpora but costs more than the
+    # streamed re-plan at 500k rows on 8 CPUs (measured +60 s)
     paired = attach_pair_features(
         edges, feats, cfg, dedup_pairs=True,
-        dedup_cols=["src", "dst", "stage"],
+        dedup_cols=["src", "dst", "stage"], stage_boundary=False,
     )
     L = cfg.substring_min_len
 

@@ -120,3 +120,26 @@ def test_roc_auc_against_known_values():
     y = rng.integers(0, 2, 500)
     # random scores -> AUC near 0.5
     assert 0.4 < roc_auc(s, y) < 0.6
+
+
+def test_pair_recall_fast_matches_slow():
+    import pandas as pd
+
+    from stack_trace_deduplication_ray.eval.metrics import (
+        dup_pair_metrics,
+        pair_recall_fast,
+    )
+
+    rng = __import__("numpy").random.default_rng(2)
+    ids = [f"i{k}" for k in range(200)]
+    truth = pd.DataFrame(
+        {"image_id": ids, "cluster_id": rng.integers(0, 60, 200)}
+    )
+    pred = pd.DataFrame(
+        {"image_id": ids, "cluster_id": rng.integers(0, 70, 200)}
+    )
+    slow = dup_pair_metrics(pred, truth)
+    fast = pair_recall_fast(pred, truth)
+    assert abs(slow["recall"] - fast["recall"]) < 1e-12
+    assert abs(slow["precision"] - fast["precision"]) < 1e-12
+    assert slow["truth_pairs"] == fast["truth_pairs"]

@@ -141,3 +141,25 @@ def test_from_report_dicts_and_entry_sequences(ray_session):
     ]
     plain = entry_sequences(ds, use_errors=False).to_pandas()
     assert list(plain.seq[0]) == ["Inner.fail", "Outer.run"]
+
+
+def test_job_entry_point(ray_session, tmp_path, small_fixture_dir):
+    """`python -m stack_trace_deduplication_ray.job` shape: runs the flagship
+    over a parquet images table and writes a resumable run directory."""
+    import json
+    import os
+
+    from stack_trace_deduplication_ray.job import main
+
+    out = str(tmp_path / "run1")
+    rc = main([
+        "--input", f"{small_fixture_dir}/images.parquet",
+        "--output", out,
+        "--stages", "exact,minhash",
+    ])
+    assert rc == 0
+    man = json.load(open(os.path.join(out, "_run_manifest.json")))
+    assert man["rows"] == 1000
+    assert os.path.isdir(os.path.join(out, "clusters"))
+    assert os.path.isdir(os.path.join(out, "edges"))
+    assert man["config"]["stages"] == ["exact", "minhash"]
