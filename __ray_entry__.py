@@ -81,6 +81,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "same_label_near_pairs": similarity.same_label_near_pairs,
         "lsh_near_pairs": similarity.lsh_near_pairs,
         "ann_recall": similarity.ann_recall,
+        "ivf_knn": similarity.ivf_knn,
         "knn_label_accuracy": similarity.knn_label_accuracy,
         # --- ranked-prediction evaluator battery ----------------------
         "retrieval_rank_metrics": evaluation.retrieval_rank_metrics,

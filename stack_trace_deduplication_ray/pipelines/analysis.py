@@ -114,24 +114,50 @@ class LangId:
     """
 
     def __init__(self):
-        self.markers = {k: frozenset(v) for k, v in _LANG_MARKERS.items()}
+        # sorted-hash marker arrays per language, built once per actor:
+        # membership tests become one vectorized searchsorted over the
+        # batch's concatenated token hashes (no per-row set ops)
+        from stack_trace_deduplication_ray.functions import hashing as H
+
+        self.langs = sorted(_LANG_MARKERS)
+        self.marker_hashes = [
+            np.sort(H.hash_bytes_arrays(sorted(_LANG_MARKERS[lang])))
+            for lang in self.langs
+        ]
+        self._hash = H.hash_bytes_arrays
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds, scores = [], []
-        for t in batch.column("text").to_pylist():
-            toks = set(t.split(" "))
-            best, best_n = "unknown", 0
-            for lang, mk in sorted(self.markers.items()):
-                n = len(toks & mk)
-                if n > best_n:
-                    best, best_n = lang, n
-            preds.append(best)
-            scores.append(best_n)
+        texts = batch.column("text").to_pylist()
+        toks = [np.unique(self._hash(t.split(" "))) for t in texts]
+        lens = np.fromiter(map(len, toks), dtype=np.int64, count=len(toks))
+        offs = np.zeros(len(toks) + 1, dtype=np.int64)
+        np.cumsum(lens, out=offs[1:])
+        flat = (
+            np.concatenate(toks) if lens.sum() else np.empty(0, np.uint64)
+        )
+        hits = np.zeros((len(self.langs), len(texts)), dtype=np.int64)
+        for li, mh in enumerate(self.marker_hashes):
+            if len(flat) == 0 or len(mh) == 0:
+                continue
+            pos = np.searchsorted(mh, flat)
+            is_hit = mh[np.minimum(pos, len(mh) - 1)] == flat
+            # segment-sum hits per row
+            hits[li] = np.add.reduceat(
+                np.concatenate([is_hit.astype(np.int64), [0]]),
+                offs[:-1],
+            ) * (lens > 0)
+        best_n = hits.max(axis=0)
+        best_i = hits.argmax(axis=0)  # first max = alphabetical winner
+        preds = np.where(
+            best_n > 0,
+            np.asarray(self.langs, dtype=object)[best_i],
+            "unknown",
+        )
         return pa.table(
             {
                 "doc_id": batch.column("doc_id"),
                 "lang_pred": pa.array(preds, type=pa.string()),
-                "marker_hits": pa.array(scores, type=pa.int64()),
+                "marker_hits": pa.array(best_n, type=pa.int64()),
             }
         )
 

@@ -9,6 +9,10 @@ list<float>, label).
   the scale path replacing the reference's FAISS IndexFlatIP
   (/root/reference/ea/sim/main/methods/index/faiss.py:10-83) with a
   shuffle-native index-free design.
+- IVF approximate kNN (seeded k-means coarse quantizer fit once on a
+  sample, broadcast; probe-limited exact scoring per batch) — the
+  second ANN variant; with full probing it equals the brute force
+  exactly (tested).
 """
 
 from __future__ import annotations
@@ -412,4 +416,110 @@ def knn_label_accuracy(sf_dir: str):
                 [round(int(correct) / n, 4)], type=pa.float64()
             ),
         }
+    )
+
+
+def _kmeans_fit(mat: np.ndarray, n_centroids: int, seed: int = 7,
+                n_iter: int = 10) -> np.ndarray:
+    """Seeded Lloyd k-means on L2-normalized vectors (driver-side fit
+    on a sample — the fit-once half of the IVF pattern). Deterministic:
+    seeded init, fixed iteration count, empty clusters re-seeded from
+    the farthest points."""
+    rng = np.random.default_rng(seed)
+    n = len(mat)
+    cents = mat[rng.choice(n, size=min(n_centroids, n), replace=False)]
+    for _ in range(n_iter):
+        sims = mat @ cents.T
+        assign = sims.argmax(axis=1)
+        new = np.zeros_like(cents)
+        for c in range(len(cents)):
+            members = mat[assign == c]
+            if len(members) == 0:
+                far = sims.max(axis=1).argmin()
+                new[c] = mat[far]
+            else:
+                v = members.mean(axis=0)
+                new[c] = v / max(np.linalg.norm(v), 1e-12)
+        if np.allclose(new, cents):
+            break
+        cents = new
+    return cents
+
+
+def ivf_knn(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    fit_sample: int = 4096,
+):
+    """IVF (inverted-file) approximate kNN — the coarse-quantizer scale
+    path beside the hyperplane-LSH one (build brief: "an IVF or
+    LSH-bucketed variant"): k-means centroids fit once on a sample
+    (driver-side, seeded), broadcast; every batch assigns its vectors
+    to the nearest centroid and only vectors in the query's `n_probe`
+    closest lists are scored exactly. At scale the assignment column
+    is the partitioning key (one groupby materializes the inverted
+    lists); the probe is a vectorized per-batch mask here.
+
+    With n_probe == n_centroids the output EXACTLY equals
+    knn_brute_force (tested); smaller n_probe trades recall for
+    scanned volume. Output (vec_id, cos rounded 4) sorted desc,
+    self excluded; rows-only driver check (approximate by design).
+    """
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+
+    # ---- fit-once: sample -> centroids -> broadcast -------------------
+    ids_s, mats = [], []
+    taken = 0
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        i, m = _emb_matrix(b)
+        ids_s.append(i)
+        mats.append(m)
+        taken += len(i)
+        if taken >= fit_sample:
+            break
+    sample = np.concatenate(mats)[:fit_sample].astype(np.float64)
+    sample = sample / np.maximum(
+        np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
+    )
+    cents = _kmeans_fit(sample, n_centroids)
+    cents_ref = ray.put(cents)
+
+    # ---- query vector + probed lists ----------------------------------
+    q = None
+    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        ids, mat = _emb_matrix(b)
+        hit = np.nonzero(ids == query_vec_id)[0]
+        if len(hit):
+            q = mat[hit[0]].astype(np.float64)
+            break
+    assert q is not None, f"query vec {query_vec_id} not found"
+    qn = q / max(np.linalg.norm(q), 1e-12)
+    probe = set(
+        np.argsort(-(cents @ qn))[: min(n_probe, len(cents))].tolist()
+    )
+    q_ref = ray.put((qn, probe))
+
+    def score(batch: pa.Table) -> pa.Table:
+        cents_l = ray.get(cents_ref)
+        qv, probe_l = ray.get(q_ref)
+        ids, mat = _emb_matrix(batch)
+        norms = np.maximum(np.linalg.norm(mat, axis=1), 1e-12)
+        nm = mat / norms[:, None]
+        assign = (nm @ cents_l.T).argmax(axis=1)
+        keep = np.isin(assign, list(probe_l)) & (ids != query_vec_id)
+        cos = nm[keep] @ qv
+        return pa.table(
+            {
+                "vec_id": pa.array(ids[keep]),
+                "cos": pa.array(np.round(cos, 4)),
+            }
+        )
+
+    return (
+        ds.map_batches(score, batch_format="pyarrow")
+        .sort(["cos", "vec_id"], descending=[True, False])
+        .limit(k)
     )

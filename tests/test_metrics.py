@@ -143,3 +143,34 @@ def test_pair_recall_fast_matches_slow():
     assert abs(slow["recall"] - fast["recall"]) < 1e-12
     assert abs(slow["precision"] - fast["precision"]) < 1e-12
     assert slow["truth_pairs"] == fast["truth_pairs"]
+
+
+def test_ivf_knn_full_probe_equals_brute_force(ray_session):
+    """IVF with n_probe == n_centroids scans everything -> must equal
+    the exact brute-force kNN bit for bit (same rounding and order)."""
+    from stack_trace_deduplication_ray.pipelines.similarity import (
+        ivf_knn,
+        knn_brute_force,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = knn_brute_force(sf).to_pandas().reset_index(drop=True)
+    full = ivf_knn(sf, n_centroids=8, n_probe=8).to_pandas().reset_index(drop=True)
+    assert full.equals(exact)
+
+
+def test_ivf_knn_partial_probe_recall(ray_session):
+    from stack_trace_deduplication_ray.pipelines.similarity import (
+        ivf_knn,
+        knn_brute_force,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    exact = set(knn_brute_force(sf).to_pandas().vec_id)
+    approx = ivf_knn(sf, n_centroids=8, n_probe=4).to_pandas()
+    assert len(approx) == 10
+    # deterministic across runs
+    approx2 = ivf_knn(sf, n_centroids=8, n_probe=4).to_pandas()
+    assert approx.equals(approx2)
+    # probing half the lists keeps a useful share of the true top-10
+    assert len(set(approx.vec_id) & exact) >= 3
