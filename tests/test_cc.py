@@ -65,3 +65,40 @@ def test_label_propagation_long_chain_converges(ray_session):
     ids = [f"n{i:02d}" for i in range(n)]
     out = cc_mod.assign_clusters(_ids_ds(ids), _edges_ds(pairs), cfg).to_pandas()
     assert set(out.cluster_id) == {"n00"}
+
+
+def test_random_graph_distributed_equals_driver(ray_session):
+    """Randomized 5k-edge graph (mixed components, chains, stars):
+    the distributed label-propagation path must produce EXACTLY the
+    driver union-find clustering."""
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    n = 2000
+    ids = [f"v{i:05d}" for i in range(n)]
+    # random edges within blocks of 40 (many medium components) plus
+    # some long chain links
+    pairs = []
+    for _ in range(4500):
+        b = int(rng.integers(0, n // 40)) * 40
+        i, j = rng.integers(0, 40, 2)
+        if i != j:
+            pairs.append((ids[b + int(i)], ids[b + int(j)]))
+    for i in range(0, n - 50, 50):
+        pairs.append((ids[i], ids[i + 50]))  # cross-block chain
+
+    edges = _edges_ds(pairs)
+    drv = cc_mod.assign_clusters(
+        _ids_ds(ids), edges, DedupConfig()
+    ).to_pandas()
+    dist = cc_mod.assign_clusters(
+        _ids_ds(ids), edges, DedupConfig(driver_cc_max_edges=0)
+    ).to_pandas()
+    a = dict(zip(drv.image_id, drv.cluster_id))
+    b = dict(zip(dist.image_id, dist.cluster_id))
+    assert a == b
+    # representative is the min member everywhere
+    import pandas as pd
+
+    mins = drv.groupby("cluster_id")["image_id"].min()
+    assert (mins.index == mins.values).all()
