@@ -217,16 +217,17 @@ def segment_order_stats(sf_dir: str):
 
 
 def top_orders_by_revenue(sf_dir: str, k: int = 10):
-    """Top-k orders by lineitem revenue (multi-table). `orders` is a
-    FACT table — never collected to the driver: the order dates are
-    attached with a partitioned hash join (stages.joins.join_ds), then
-    a global sort + limit. Output (o_orderkey, revenue, o_orderdate),
+    """Top-k orders by lineitem revenue (multi-table), with LATE
+    MATERIALIZATION: `orders` is a fact table, so instead of joining
+    it against every aggregated order (or collecting it to the driver
+    — the round-1 anti-pattern), the top-k cut runs FIRST on the
+    aggregate (distributed sort + limit), only the k winning keys are
+    collected, and one filtering scan of `orders` (no shuffle)
+    attaches their dates. Output (o_orderkey, revenue, o_orderdate),
     revenue rounded 4."""
+    import pandas as pd
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
-
-    from stack_trace_deduplication_ray.config import DedupConfig
-    from stack_trace_deduplication_ray.stages.joins import join_ds
 
     li = read_table(
         sf_dir, "lineitem", columns=["l_orderkey", "l_extendedprice", "l_discount"]
@@ -247,28 +248,46 @@ def top_orders_by_revenue(sf_dir: str, k: int = 10):
         .aggregate(Sum("rev", alias_name="revenue"))
     )
 
-    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
-    joined = join_ds(
-        per_order, orders, "l_orderkey", "o_orderkey", DedupConfig()
-    )
-
-    def finish(batch: pa.Table) -> pa.Table:
+    def rnd(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "o_orderkey": batch.column("l_orderkey"),
+                "l_orderkey": batch.column("l_orderkey"),
                 "revenue": pa.array(
                     np.round(
-                        batch.column("revenue").to_numpy(zero_copy_only=False), 4
+                        batch.column("revenue").to_numpy(zero_copy_only=False),
+                        4,
                     )
                 ),
-                "o_orderdate": batch.column("o_orderdate"),
             }
         )
 
-    return (
-        joined.map_batches(finish, batch_format="pyarrow")
-        .sort(["revenue", "o_orderkey"], descending=[True, False])
-        .limit(k)
+    from stack_trace_deduplication_ray.pipelines.util import distributed_topk
+
+    top = distributed_topk(
+        per_order.map_batches(rnd, batch_format="pyarrow"),
+        [("revenue", True), ("l_orderkey", False)], k,
+    ).to_pandas()
+    keys = set(top["l_orderkey"])
+    keys_ref = ray.put(keys)
+
+    orders = read_table(sf_dir, "orders", columns=["o_orderkey", "o_orderdate"])
+
+    def pick(batch: pa.Table) -> pa.Table:
+        wanted = ray.get(keys_ref)
+        mask = np.fromiter(
+            (kk in wanted for kk in batch.column("o_orderkey").to_pylist()),
+            dtype=bool, count=len(batch),
+        )
+        return batch.filter(pa.array(mask))
+
+    dates = orders.map_batches(pick, batch_format="pyarrow").to_pandas()
+    out = (
+        top.merge(dates, left_on="l_orderkey", right_on="o_orderkey")
+        .sort_values(["revenue", "o_orderkey"], ascending=[False, True],
+                     kind="stable")
+    )
+    return pa.Table.from_pandas(
+        out[["o_orderkey", "revenue", "o_orderdate"]], preserve_index=False
     )
 
 

@@ -66,10 +66,11 @@ def knn_brute_force(sf_dir: str, query_vec_id: int = 0, k: int = 10):
             }
         )
 
-    return (
-        ds.map_batches(score, batch_format="pyarrow")
-        .sort(["cos", "vec_id"], descending=[True, False])
-        .limit(k)
+    from stack_trace_deduplication_ray.pipelines.util import distributed_topk
+
+    return distributed_topk(
+        ds.map_batches(score, batch_format="pyarrow"),
+        [("cos", True), ("vec_id", False)], k,
     )
 
 
@@ -518,8 +519,9 @@ def ivf_knn(
             }
         )
 
-    return (
-        ds.map_batches(score, batch_format="pyarrow")
-        .sort(["cos", "vec_id"], descending=[True, False])
-        .limit(k)
+    from stack_trace_deduplication_ray.pipelines.util import distributed_topk
+
+    return distributed_topk(
+        ds.map_batches(score, batch_format="pyarrow"),
+        [("cos", True), ("vec_id", False)], k,
     )

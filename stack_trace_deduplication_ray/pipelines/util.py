@@ -27,3 +27,31 @@ def ensure_schema(ds, schema: pa.Schema):
         tbl = pa.Table.from_pandas(out.to_pandas(), preserve_index=False)
         return tbl.select(schema.names).cast(schema)
     return out
+
+
+def distributed_topk(ds, keys: list[tuple[str, bool]], k: int) -> pa.Table:
+    """Global top-k WITHOUT a global sort shuffle: every batch prunes
+    itself to its local top-k under the same total order (any row
+    outside a batch's local top-k cannot be in the global top-k), the
+    <= k x n_blocks survivors are collected, and one driver-side sort
+    finishes. Replaces `sort().limit(k)` — the sort is an all-to-all
+    exchange of the WHOLE table for k winners.
+
+    keys: [(column, descending)], applied in order (K5 deterministic
+    total order). Returns an Arrow table of k rows.
+    """
+    import pandas as pd
+
+    cols = [c for c, _ in keys]
+    ascending = [not d for _, d in keys]
+
+    def prune(batch: pa.Table) -> pa.Table:
+        df = batch.to_pandas()
+        df = df.sort_values(cols, ascending=ascending, kind="stable").head(k)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    survivors = ds.map_batches(prune, batch_format="pyarrow").to_pandas()
+    out = survivors.sort_values(
+        cols, ascending=ascending, kind="stable"
+    ).head(k)
+    return pa.Table.from_pandas(out.reset_index(drop=True), preserve_index=False)
