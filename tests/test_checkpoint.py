@@ -82,3 +82,31 @@ def test_pipeline_resume_identical_clusters(ray_session, small_fixture_dir, tmp_
     # completed_at unchanged -> stages were loaded, not re-run
     for k in man1:
         assert man2[k]["completed_at"] == man1[k]["completed_at"]
+
+
+def test_partial_crash_resume(ray_session, small_fixture_dir, tmp_path):
+    """Crash simulation: after a full run, invalidate ONLY the
+    verified_edges stage (as if the job died mid-verify on a retry);
+    the rerun must reload exact_edges untouched, recompute
+    verified_edges, and produce identical clusters."""
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.pipelines.dedup import run_dedup
+
+    images = rd.read_parquet(f"{small_fixture_dir}/images.parquet")
+    cfg = DedupConfig()
+    ckdir = str(tmp_path / "ck")
+    r1 = run_dedup(images, cfg, checkpoint_dir=ckdir, input_id="crash")
+    c1 = r1["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
+    man1 = json.load(open(os.path.join(ckdir, "manifest.json")))
+
+    # simulate the crash: drop the verified stage's table
+    shutil.rmtree(os.path.join(ckdir, "verified_edges"))
+
+    r2 = run_dedup(images, cfg, checkpoint_dir=ckdir, input_id="crash")
+    c2 = r2["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert c1.equals(c2)
+    man2 = json.load(open(os.path.join(ckdir, "manifest.json")))
+    # exact stage untouched (loaded), verify stage recomputed
+    assert man2["exact_edges"]["completed_at"] == man1["exact_edges"]["completed_at"]
+    assert man2["verified_edges"]["completed_at"] >= man1["verified_edges"]["completed_at"]
