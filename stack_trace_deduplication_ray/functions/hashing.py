@@ -51,6 +51,34 @@ def hash_bytes_arrays(values: list[bytes] | np.ndarray, seed: int = 0) -> np.nda
         return splitmix64(h.astype(U64) ^ (U64(seed & 0xFFFFFFFFFFFFFFFF)))
 
 
+def ids_np(col) -> np.ndarray:
+    """Arrow id column -> numpy array: int64 zero-copy-ish fast path,
+    object array of Python values otherwise (string ids)."""
+    import pyarrow as pa
+
+    if pa.types.is_integer(col.type):
+        return col.to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+    return np.asarray(col.to_pylist(), dtype=object)
+
+
+def hash_ids(ids: np.ndarray, seed: int = 0) -> np.ndarray:
+    """Seeded 64-bit hash of an id array -> uint64.
+
+    int64 ids: pure-numpy splitmix64 (no per-row Python, the exchange
+    fast path); anything else falls back to the bytes hasher. Every
+    shuffle/salt/sample key in the dedup engine derives from this, so
+    int64 id columns never round-trip through Python objects.
+    """
+    arr = np.asarray(ids)
+    if arr.dtype.kind in "iu":
+        with np.errstate(**_ERR):
+            return splitmix64(
+                arr.astype(np.int64).view(U64)
+                ^ U64(seed & 0xFFFFFFFFFFFFFFFF)
+            )
+    return hash_bytes_arrays(arr, seed)
+
+
 def concat_utf8(strings: "np.ndarray | list[str]") -> tuple[np.ndarray, np.ndarray]:
     """Encode a batch of strings to one flat uint8 array + offsets.
 

@@ -53,11 +53,89 @@ from stack_trace_deduplication_ray.stages import cc as cc_mod
 from stack_trace_deduplication_ray.stages import expand as ex
 from stack_trace_deduplication_ray.stages import verify as ver
 from stack_trace_deduplication_ray.stages.signatures import (
+    internal_ids,
     signature_stage,
     text_signature_stage,
 )
 
 logger = logging.getLogger(__name__)
+
+
+def _id_map(images_ds):
+    """(image_id int64[, orig_id string]) for every input row — the
+    internal-id domain every exchange runs in (string ids are hashed
+    once here / in the signature stage; int ids pass through)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        iid, was_str = internal_ids(batch.column("image_id"))
+        cols = {"image_id": iid}
+        if was_str:
+            cols["orig_id"] = batch.column("image_id")
+        return pa.table(cols)
+
+    return images_ds.select_columns(["image_id"]).map_batches(
+        fn, batch_format="pyarrow"
+    )
+
+
+def _restore_names(clusters_int, id_map, cfg: DedupConfig):
+    """(image_id:int64, cluster_id:int64) -> (image_id:string original,
+    cluster_id:string = MIN original id of the component) — the
+    keep-first representative rule on the user-visible ids. Three
+    narrow exchanges over (8 B + id-string) rows; the heavy phases all
+    ran in the int64 domain."""
+    from ray.data.aggregate import Min
+
+    from stack_trace_deduplication_ray.stages.joins import join_ds
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__mid": batch.column("image_id"),
+                "orig_id": batch.column("orig_id"),
+            }
+        )
+
+    named = join_ds(
+        clusters_int,
+        id_map.map_batches(ren, batch_format="pyarrow"),
+        "image_id", "__mid", cfg,
+    ).materialize()
+    minname = named.groupby("cluster_id").aggregate(
+        Min("orig_id", alias_name="cluster_name")
+    )
+
+    def ren2(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__cid": batch.column("cluster_id"),
+                "cluster_name": batch.column("cluster_name"),
+            }
+        )
+
+    def trim(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "orig_id": batch.column("orig_id"),
+                "cluster_id": batch.column("cluster_id"),
+            }
+        )
+
+    j = join_ds(
+        named.map_batches(trim, batch_format="pyarrow"),
+        minname.map_batches(ren2, batch_format="pyarrow"),
+        "cluster_id", "__cid", cfg,
+    )
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "image_id": batch.column("orig_id"),
+                "cluster_id": batch.column("cluster_name"),
+            }
+        )
+
+    return j.map_batches(out, batch_format="pyarrow")
 
 
 def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
@@ -186,9 +264,15 @@ def run_dedup(
         sigs = sigs.materialize()
         edges, stats = build_edges(images_ds, sigs, cfg, has_image, ckpt=ckpt)
         edges = edges.materialize()
+    sch = images_ds.schema()
+    input_id_type = dict(zip(sch.names, sch.types))["image_id"]
+    id_is_str = not pa.types.is_integer(input_id_type)
+    id_map = _id_map(images_ds)
     clusters = cc_mod.assign_clusters(
-        images_ds.select_columns(["image_id"]), edges, cfg
+        id_map.select_columns(["image_id"]), edges, cfg
     )
+    if id_is_str:
+        clusters = _restore_names(clusters, id_map, cfg)
     return {"clusters": clusters, "edges": edges, "stats": stats}
 
 

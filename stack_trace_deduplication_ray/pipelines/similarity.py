@@ -217,12 +217,13 @@ def lsh_near_pairs(
     pairs = partitioned_groups(buckets, "bucket", emit_pairs, cfg)
 
     # vector attachment: (src, dst) x embeddings, dedup folded into the
-    # first join; keys are cast to string inside join_ds
+    # first join; int64 vec_ids are the join keys directly (join_ds
+    # int fast path — no string round-trip)
     def ren(suffix):
         def fn(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {
-                    "__vid" + suffix: batch.column("vec_id").cast(pa.string()),
+                    "__vid" + suffix: batch.column("vec_id").cast(pa.int64()),
                     "emb" + suffix: batch.column("embedding"),
                 }
             )
@@ -232,19 +233,11 @@ def lsh_near_pairs(
     emb_src = ds.map_batches(ren("_src"), batch_format="pyarrow")
     emb_dst = ds.map_batches(ren("_dst"), batch_format="pyarrow")
 
-    def key_str(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": batch.column("src").cast(pa.string()),
-                "dst": batch.column("dst").cast(pa.string()),
-            }
-        )
-
     # stage boundaries are materialized: Ray's streaming executor was
     # measured 3x slower running the bucket->pairs->join->join chain as
     # one graph than staged (50 s vs 14 s at 2k vectors x 16 tables);
     # the pair table is narrow, so the boundary is cheap
-    pairs_s = pairs.map_batches(key_str, batch_format="pyarrow").materialize()
+    pairs_s = pairs.materialize()
     j1 = join_ds(
         pairs_s, emb_src, "src", "__vid_src", cfg,
         dedup_left=["src", "dst"],
@@ -269,8 +262,8 @@ def lsh_near_pairs(
         b = b / np.maximum(np.linalg.norm(b, axis=1, keepdims=True), 1e-12)
         cos = np.sum(a * b, axis=1)
         keep = cos >= threshold
-        src = np.asarray(batch.column("src").to_pylist())[keep].astype(np.int64)
-        dst = np.asarray(batch.column("dst").to_pylist())[keep].astype(np.int64)
+        src = batch.column("src").to_numpy(zero_copy_only=False)[keep].astype(np.int64)
+        dst = batch.column("dst").to_numpy(zero_copy_only=False)[keep].astype(np.int64)
         return pa.table(
             {
                 "src": pa.array(src),

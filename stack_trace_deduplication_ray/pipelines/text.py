@@ -28,17 +28,17 @@ TEXT_DEDUP_CONFIG = DedupConfig(
 
 
 def _docs_as_engine_input(sf_dir: str):
-    """documents -> (image_id paddedstring, caption) for the engine.
+    """documents -> (image_id:int64, caption) for the engine.
 
-    Zero-padded ids keep lexicographic order == numeric order, so the
-    engine's min-id cluster representative equals min(doc_id)."""
+    doc_id passes through as the engine's int64 internal id (the
+    exchange fast path — no string keys anywhere), and the engine's
+    min-id cluster representative is exactly min(doc_id)."""
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def conv(batch: pa.Table) -> pa.Table:
-        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "image_id": pa.array([f"{i:012d}" for i in ids], type=pa.string()),
+                "image_id": batch.column("doc_id").cast(pa.int64()),
                 "caption": batch.column("text"),
             }
         )
@@ -112,14 +112,8 @@ def minhash_dedup_clusters(sf_dir: str):
     def conv(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_id": pa.array(
-                    [int(x) for x in batch.column("image_id").to_pylist()],
-                    type=pa.int64(),
-                ),
-                "cluster_id": pa.array(
-                    [int(x) for x in batch.column("cluster_id").to_pylist()],
-                    type=pa.int64(),
-                ),
+                "doc_id": batch.column("image_id"),
+                "cluster_id": batch.column("cluster_id"),
             }
         )
 
@@ -265,18 +259,8 @@ def substring_candidate_pairs(sf_dir: str, cfg: DedupConfig = TEXT_DEDUP_CONFIG)
     verified = ver.verify_substring(e.materialize(), sigs, cfg)
 
     def conv(batch: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "src": pa.array(
-                    [int(x) for x in batch.column("src").to_pylist()],
-                    type=pa.int64(),
-                ),
-                "dst": pa.array(
-                    [int(x) for x in batch.column("dst").to_pylist()],
-                    type=pa.int64(),
-                ),
-            }
-        )
+        # src/dst ARE doc ids: int64 ids pass through the engine
+        return batch.select(["src", "dst"])
 
     return ensure_schema(
         verified.map_batches(conv, batch_format="pyarrow"),
@@ -314,14 +298,8 @@ def report_dedup_clusters(sf_dir: str):
     def conv(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "report_id": pa.array(
-                    [int(x) for x in batch.column("image_id").to_pylist()],
-                    type=pa.int64(),
-                ),
-                "cluster_id": pa.array(
-                    [int(x) for x in batch.column("cluster_id").to_pylist()],
-                    type=pa.int64(),
-                ),
+                "report_id": batch.column("image_id"),
+                "cluster_id": batch.column("cluster_id"),
             }
         )
 
@@ -415,7 +393,7 @@ def simhash_text_clusters(sf_dir: str, cfg: DedupConfig | None = None):
         sh = H.simhash_from_token_hashes(flat, offs)
         return pa.table(
             {
-                "image_id": batch.column("image_id"),
+                "image_id": batch.column("image_id").cast(pa.int64()),
                 "simhash": pa.array(sh.view(np.int64)),
             }
         )
@@ -428,11 +406,11 @@ def simhash_text_clusters(sf_dir: str, cfg: DedupConfig | None = None):
         )
         keys = H.simhash_chunk_keys(sh, cfg.simhash_chunks)
         n, k = keys.shape
-        ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+        ids = batch.column("image_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "bucket": pa.array(keys.reshape(-1).view(np.int64)),
-                "image_id": pa.array(np.repeat(ids, k)),
+                "image_id": pa.array(np.repeat(ids, k), type=pa.int64()),
                 "simhash": pa.array(np.repeat(sh.view(np.int64), k)),
             }
         )
@@ -446,14 +424,8 @@ def simhash_text_clusters(sf_dir: str, cfg: DedupConfig | None = None):
     def conv(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "doc_id": pa.array(
-                    [int(x) for x in batch.column("image_id").to_pylist()],
-                    type=pa.int64(),
-                ),
-                "cluster_id": pa.array(
-                    [int(x) for x in batch.column("cluster_id").to_pylist()],
-                    type=pa.int64(),
-                ),
+                "doc_id": batch.column("image_id"),
+                "cluster_id": batch.column("cluster_id"),
             }
         )
 

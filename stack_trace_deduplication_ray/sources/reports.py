@@ -106,16 +106,13 @@ def read_reports(path: str):
 
 def reports_as_documents(reports_ds):
     """Adapt a reports Dataset to the dedup engine's text input
-    (image_id, caption) — zero-padded ids keep the min-id
-    representative rule equal to min(report_id)."""
+    (image_id:int64, caption) — int ids pass through the engine, so
+    the min-id representative rule equals min(report_id) exactly."""
 
     def conv(batch: pa.Table) -> pa.Table:
-        ids = batch.column("report_id").to_numpy(zero_copy_only=False)
         return pa.table(
             {
-                "image_id": pa.array(
-                    [f"{i:012d}" for i in ids], type=pa.string()
-                ),
+                "image_id": batch.column("report_id").cast(pa.int64()),
                 "caption": batch.column("caption"),
             }
         )

@@ -71,21 +71,41 @@ EDGE_SCHEMA = pa.schema(
 )
 
 
-def _edges_table(src, dst, stage) -> pa.Table:
-    """Canonical edges Arrow table with the declared schema (explicit
-    types even when empty — empty pandas object columns would degrade
-    to Arrow null type and poison downstream schema unification).
-    `stage` is one label for all rows or a per-row array."""
+def _id_pa_type(arr) -> pa.DataType:
+    """Arrow type for an id array: int64 for integer ids (the
+    exchange fast path — every flagship id is int64 after the
+    signature stage), string otherwise."""
+    return (
+        pa.int64()
+        if np.asarray(arr).dtype.kind in "iu"
+        else pa.string()
+    )
+
+
+def _edges_table(src, dst, stage, id_type: pa.DataType | None = None) -> pa.Table:
+    """Canonical edges Arrow table (explicit types even when empty —
+    empty pandas object columns would degrade to Arrow null type and
+    poison downstream schema unification). `stage` is one label for
+    all rows or a per-row array; `id_type` pins the src/dst type
+    (inferred from `src` when omitted; empty-and-unknown -> string)."""
     n = len(src)
+    if id_type is None:
+        id_type = _id_pa_type(src) if n else pa.string()
     stage_arr = (
         pa.array([stage] * n, type=pa.string())
         if isinstance(stage, str)
         else pa.array(list(stage), type=pa.string())
     )
+    if pa.types.is_integer(id_type):
+        src_arr = pa.array(np.asarray(src, dtype=np.int64), type=id_type)
+        dst_arr = pa.array(np.asarray(dst, dtype=np.int64), type=id_type)
+    else:
+        src_arr = pa.array(list(src), type=id_type)
+        dst_arr = pa.array(list(dst), type=id_type)
     return pa.table(
         {
-            "src": pa.array(list(src), type=pa.string()),
-            "dst": pa.array(list(dst), type=pa.string()),
+            "src": src_arr,
+            "dst": dst_arr,
             "stage": stage_arr,
             "score": pa.array(np.zeros(n), type=pa.float64()),
         }
@@ -121,8 +141,8 @@ def _find_hot_buckets(expanded, cap: int, stage: str, cfg: DedupConfig):
     def partial_counts(batch: pa.Table) -> pa.Table:
         b = batch.column("bucket").to_numpy(zero_copy_only=False)
         if mod > 1:
-            ids = batch.column("image_id").to_pylist()
-            mask = H.hash_bytes_arrays(ids, seed=0xA11CE) % U64(mod) == 0
+            ids = H.ids_np(batch.column("image_id").combine_chunks())
+            mask = H.hash_ids(ids, seed=0xA11CE) % U64(mod) == 0
             b = b[mask]
         vals, cnts = np.unique(b, return_counts=True)
         return pa.table(
@@ -186,9 +206,9 @@ def _salt_fn(hot_ref, target: int, extra_cols: tuple[str, ...] = ()):
         buckets = (
             batch.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
         )
-        ids = batch.column("image_id").to_pylist()
+        ids = H.ids_np(batch.column("image_id").combine_chunks())
         if hot_local:
-            id_hash = H.hash_bytes_arrays(ids, seed=777)
+            id_hash = H.hash_ids(ids, seed=777)
             hk = np.fromiter(hot_local.keys(), dtype=np.int64, count=len(hot_local))
             hc = np.fromiter(
                 hot_local.values(), dtype=np.int64, count=len(hot_local)
@@ -250,6 +270,7 @@ def pairs_from_buckets(
     def emit_partition(part: pd.DataFrame) -> pd.DataFrame:
         keys = part["bucket"].to_numpy()
         ids = part["image_id"].to_numpy()
+        idt = _id_pa_type(ids)
         starts, ends = _group_bounds(keys)
         src_all, dst_all = [], []
         for s, e in zip(starts, ends):
@@ -265,9 +286,9 @@ def pairs_from_buckets(
                 src_all.append(g[i])
                 dst_all.append(g[j])
         if not src_all:
-            return _edges_table([], [], stage)
+            return _edges_table([], [], stage, idt)
         return _edges_table(
-            np.concatenate(src_all), np.concatenate(dst_all), stage
+            np.concatenate(src_all), np.concatenate(dst_all), stage, idt
         )
 
     edges = partitioned_groups(
@@ -301,6 +322,7 @@ def _bridge_hot(salted, stage: str | None, cfg: DedupConfig):
     def bridge(part: pd.DataFrame) -> pd.DataFrame:
         keys = part["obucket"].to_numpy()
         ids = part["rep"].to_numpy()
+        idt = _id_pa_type(ids)
         st = part["gstage"].to_numpy() if stage is None else None
         starts, ends = _group_bounds(keys)
         src_all, dst_all, st_all = [], [], []
@@ -313,11 +335,12 @@ def _bridge_hot(salted, stage: str | None, cfg: DedupConfig):
             if st is not None:
                 st_all.append(np.full(e - s - 1, st[s], dtype=object))
         if not src_all:
-            return _edges_table([], [], stage or "")
+            return _edges_table([], [], stage or "", idt)
         return _edges_table(
             np.concatenate(src_all),
             np.concatenate(dst_all),
             stage if stage is not None else np.concatenate(st_all),
+            idt,
         )
 
     return partitioned_groups(
@@ -355,6 +378,7 @@ def simhash_pairs_from_buckets(expanded, stage: str, cfg: DedupConfig):
     def emit_partition(part: pd.DataFrame) -> pd.DataFrame:
         keys = part["bucket"].to_numpy()
         ids = part["image_id"].to_numpy()
+        idt = _id_pa_type(ids)
         sh = part["simhash"].to_numpy().astype(np.int64).view(U64)
         starts, ends = _group_bounds(keys)
         src_all, dst_all = [], []
@@ -378,9 +402,9 @@ def simhash_pairs_from_buckets(expanded, stage: str, cfg: DedupConfig):
             src_all.append(np.minimum(a, b))
             dst_all.append(np.maximum(a, b))
         if not src_all:
-            return _edges_table([], [], stage)
+            return _edges_table([], [], stage, idt)
         return _edges_table(
-            np.concatenate(src_all), np.concatenate(dst_all), stage
+            np.concatenate(src_all), np.concatenate(dst_all), stage, idt
         )
 
     edges = partitioned_groups(
@@ -470,8 +494,8 @@ def fused_pairs_from_buckets(
     mod = cfg.hot_sample_mod if cfg.hot_sample_mod else 16
 
     def sample_rows(batch: pa.Table) -> pa.Table:
-        ids = batch.column("image_id").to_pylist()
-        mask = H.hash_bytes_arrays(ids, seed=0xA11CE) % U64(mod) == 0
+        ids = H.ids_np(batch.column("image_id").combine_chunks())
+        mask = H.hash_ids(ids, seed=0xA11CE) % U64(mod) == 0
         return batch.filter(pa.array(mask))
 
     tagged = None
@@ -513,6 +537,7 @@ def fused_pairs_from_buckets(
     def emit_partition(part: pd.DataFrame) -> pd.DataFrame:
         keys = part["bucket"].to_numpy()
         ids = part["image_id"].to_numpy()
+        idt = _id_pa_type(ids)
         sh = part["simhash"].to_numpy().astype(np.int64).view(U64)
         st = part["stage"].to_numpy()
         starts, ends = _group_bounds(keys)
@@ -549,11 +574,12 @@ def fused_pairs_from_buckets(
             dst_all.append(dst)
             st_all.append(np.full(len(src), g_stage, dtype=object))
         if not src_all:
-            return _edges_table([], [], "")
+            return _edges_table([], [], "", idt)
         return _edges_table(
             np.concatenate(src_all),
             np.concatenate(dst_all),
             np.concatenate(st_all),
+            idt,
         )
 
     edges = partitioned_groups(
@@ -619,13 +645,14 @@ def collapse_dual(sigs, axes, cfg: DedupConfig):
 
     def annotate(part: pa.Table) -> pa.Table:
         keys = part.column("key").to_numpy(zero_copy_only=False)
-        ids = np.asarray(part.column("image_id").to_pylist(), dtype=object)
+        ids = H.ids_np(part.column("image_id").combine_chunks())
+        idt = part.schema.field("image_id").type
         starts, ends = _group_bounds(keys)
         if len(starts) == 0:
-            return part.append_column("rep", pa.array([], type=pa.string()))
+            return part.append_column("rep", pa.array([], type=idt))
         gidx = np.repeat(np.arange(len(starts)), ends - starts)
         rep = np.minimum.reduceat(ids, starts)[gidx]
-        return part.append_column("rep", pa.array(rep, type=pa.string()))
+        return part.append_column("rep", pa.array(rep, type=idt))
 
     annotated = partitioned_groups_arrow(tagged, "key", annotate, cfg).materialize()
 
@@ -706,14 +733,15 @@ def collapse_by(sigs, key_col: str, stage: str, cfg: DedupConfig | None = None):
     def annotate(part: pa.Table) -> pa.Table:
         # part is sorted by key_col; vectorized per-group min image_id
         keys = part.column(key_col).to_numpy(zero_copy_only=False)
-        ids = np.asarray(part.column("image_id").to_pylist(), dtype=object)
+        ids = H.ids_np(part.column("image_id").combine_chunks())
+        idt = part.schema.field("image_id").type
         starts, ends = _group_bounds(keys)
         if len(starts) == 0:
-            return part.append_column("rep", pa.array([], type=pa.string()))
+            return part.append_column("rep", pa.array([], type=idt))
         gidx = np.repeat(np.arange(len(starts)), ends - starts)
         rep_per_group = np.minimum.reduceat(ids, starts)
         rep = rep_per_group[gidx]
-        return part.append_column("rep", pa.array(rep, type=pa.string()))
+        return part.append_column("rep", pa.array(rep, type=idt))
 
     annotated = partitioned_groups_arrow(sigs, key_col, annotate, cfg).materialize()
 

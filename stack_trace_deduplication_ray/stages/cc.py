@@ -51,18 +51,22 @@ def driver_union_find(edges) -> dict[str, str]:
     in the sorted unique-id order) so the minimum label is exactly the
     lexicographic min member id, matching the keep-first rule.
     """
+    from stack_trace_deduplication_ray.functions import hashing as H
+
     srcs, dsts = [], []
     for batch in edges.select_columns(["src", "dst"]).iter_batches(
         batch_size=262144, batch_format="pyarrow"
     ):
-        srcs.append(np.asarray(batch.column("src").to_pylist(), dtype=object))
-        dsts.append(np.asarray(batch.column("dst").to_pylist(), dtype=object))
+        srcs.append(H.ids_np(batch.column("src").combine_chunks()))
+        dsts.append(H.ids_np(batch.column("dst").combine_chunks()))
     if not srcs:
         return {}
     s = np.concatenate(srcs)
     d = np.concatenate(dsts)
     codes, uniques = pd.factorize(np.concatenate([s, d]))
-    uniques = np.asarray(uniques, dtype=object)
+    # keep the native dtype: int64 ids stay int64 (fast argsort /
+    # comparisons); string ids stay an object array
+    uniques = np.asarray(uniques)
     e_s = codes[: len(s)]
     e_d = codes[len(s):]
     n = len(uniques)
@@ -89,8 +93,8 @@ def _labels_checksum(labels) -> int:
     from stack_trace_deduplication_ray.functions import hashing as H
 
     def h(batch: pa.Table) -> pa.Table:
-        a = H.hash_bytes_arrays(batch.column("node").to_pylist(), seed=11)
-        b = H.hash_bytes_arrays(batch.column("label").to_pylist(), seed=12)
+        a = H.hash_ids(H.ids_np(batch.column("node").combine_chunks()), seed=11)
+        b = H.hash_ids(H.ids_np(batch.column("label").combine_chunks()), seed=12)
         with np.errstate(over="ignore"):
             v = H.splitmix64(a ^ b).view(np.int64)
         return pa.table({"h": pa.array(v)})
@@ -138,10 +142,16 @@ def label_propagation(edges, cfg: DedupConfig, max_rounds: int = 50):
 
     # initial labels: min(node, min neighbor)
     def init_labels(batch: pa.Table) -> pa.Table:
-        node = np.asarray(batch.column("node").to_pylist(), dtype=object)
-        nbr = np.asarray(batch.column("nbr").to_pylist(), dtype=object)
+        from stack_trace_deduplication_ray.functions import hashing as H
+
+        idt = batch.schema.field("node").type
+        node = H.ids_np(batch.column("node").combine_chunks())
+        nbr = H.ids_np(batch.column("nbr").combine_chunks())
         return pa.table(
-            {"node": pa.array(node), "label": pa.array(np.minimum(node, nbr))}
+            {
+                "node": pa.array(node, type=idt),
+                "label": pa.array(np.minimum(node, nbr), type=idt),
+            }
         )
 
     labels = (
@@ -220,14 +230,21 @@ def assign_clusters(all_ids_ds, edges, cfg: DedupConfig):
         # dict of every touched node, and per-batch lookup is a
         # vectorized searchsorted instead of a hashtable probe per row
         nonself = [(k, v) for k, v in labels.items() if k != v]
-        nk = np.asarray([k for k, _ in nonself], dtype=object)
-        nv = np.asarray([v for _, v in nonself], dtype=object)
+        is_int = bool(nonself) and isinstance(
+            nonself[0][0], (int, np.integer)
+        )
+        kdt = np.int64 if is_int else object
+        nk = np.asarray([k for k, _ in nonself], dtype=kdt)
+        nv = np.asarray([v for _, v in nonself], dtype=kdt)
         order = np.argsort(nk)
         ref = ray.put((nk[order], nv[order]))
 
         def apply(batch: pa.Table) -> pa.Table:
+            from stack_trace_deduplication_ray.functions import hashing as H
+
             keys, roots = ray.get(ref)
-            ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+            idt = batch.schema.field("image_id").type
+            ids = H.ids_np(batch.column("image_id").combine_chunks())
             out = ids.copy()
             if len(keys):
                 pos = np.searchsorted(keys, ids)
@@ -237,7 +254,7 @@ def assign_clusters(all_ids_ds, edges, cfg: DedupConfig):
             return pa.table(
                 {
                     "image_id": batch.column("image_id"),
-                    "cluster_id": pa.array(out, type=pa.string()),
+                    "cluster_id": pa.array(out, type=idt),
                 }
             )
 
@@ -260,11 +277,16 @@ def assign_clusters(all_ids_ds, edges, cfg: DedupConfig):
     )
 
     def fill(batch: pa.Table) -> pa.Table:
-        ids = batch.column("image_id").to_pylist()
-        cl = batch.column("label").to_pylist()
-        out = [c if c is not None else i for i, c in zip(ids, cl)]
+        import pyarrow.compute as pc
+
+        # vectorized singleton fill: null label -> own id
         return pa.table(
-            {"image_id": pa.array(ids), "cluster_id": pa.array(out)}
+            {
+                "image_id": batch.column("image_id"),
+                "cluster_id": pc.coalesce(
+                    batch.column("label"), batch.column("image_id")
+                ),
+            }
         )
 
     return joined.map_batches(fill, batch_format="pyarrow")

@@ -23,14 +23,18 @@ from stack_trace_deduplication_ray.functions import hashing as H
 U64 = np.uint64
 
 
-def _expand_table(ids, buckets_2d: np.ndarray) -> pa.Table:
+def _id_type(ids: np.ndarray) -> pa.DataType:
+    return pa.int64() if ids.dtype.kind in "iu" else pa.string()
+
+
+def _expand_table(ids: np.ndarray, buckets_2d: np.ndarray) -> pa.Table:
     """ids[n] x buckets_2d[n, k] -> flat (bucket, image_id) table."""
     n, k = buckets_2d.shape
     return pa.table(
         {
             # int64 bit-cast: shuffle keys must stay in int64 range
             "bucket": pa.array(buckets_2d.reshape(-1).view(np.int64)),
-            "image_id": pa.array(np.repeat(np.asarray(ids, dtype=object), k)),
+            "image_id": pa.array(np.repeat(ids, k), type=_id_type(ids)),
         }
     )
 
@@ -38,7 +42,7 @@ def _expand_table(ids, buckets_2d: np.ndarray) -> pa.Table:
 def expand_exact(sigs_ds):
     def fn(batch: pa.Table) -> pa.Table:
         b = batch.column("exact_hash").to_numpy(zero_copy_only=False).view(U64)
-        return _expand_table(batch.column("image_id").to_pylist(), b[:, None])
+        return _expand_table(H.ids_np(batch.column("image_id").combine_chunks()), b[:, None])
 
     return sigs_ds.select_columns(["image_id", "exact_hash"]).map_batches(
         fn, batch_format="pyarrow"
@@ -58,7 +62,7 @@ def expand_minhash(sigs_ds, cfg: DedupConfig):
         nonempty = (
             batch.column("n_shingles").to_numpy(zero_copy_only=False) > 0
         )
-        ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+        ids = H.ids_np(batch.column("image_id").combine_chunks())
         return _expand_table(ids[nonempty], keys[nonempty])
 
     return sigs_ds.select_columns(
@@ -74,11 +78,11 @@ def expand_simhash(sigs_ds, cfg: DedupConfig):
         sh = batch.column("simhash").to_numpy(zero_copy_only=False).view(U64)
         keys = H.simhash_chunk_keys(sh, cfg.simhash_chunks)
         n, k = keys.shape
-        ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+        ids = H.ids_np(batch.column("image_id").combine_chunks())
         return pa.table(
             {
                 "bucket": pa.array(keys.reshape(-1).view(np.int64)),
-                "image_id": pa.array(np.repeat(ids, k)),
+                "image_id": pa.array(np.repeat(ids, k), type=_id_type(ids)),
                 "simhash": pa.array(
                     np.repeat(sh.view(np.int64), k)
                 ),
@@ -132,12 +136,12 @@ def expand_substring(sigs_ds, cfg: DedupConfig):
     def fn(batch: pa.Table) -> pa.Table:
         caps = batch.column("caption_norm").to_pylist()
         fp, offs = winnow_fingerprints(caps, cfg.substring_min_len, cfg.winnow_window)
-        ids = np.asarray(batch.column("image_id").to_pylist(), dtype=object)
+        ids = H.ids_np(batch.column("image_id").combine_chunks())
         counts = np.diff(offs)
         return pa.table(
             {
                 "bucket": pa.array(fp.view(np.int64)),
-                "image_id": pa.array(np.repeat(ids, counts)),
+                "image_id": pa.array(np.repeat(ids, counts), type=_id_type(ids)),
             }
         )
 

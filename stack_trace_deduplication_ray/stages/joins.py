@@ -52,11 +52,12 @@ def resolve_partitions(cfg: DedupConfig) -> int:
     return max(8, cpus)
 
 
-def _key_partition(keys, P: int) -> np.ndarray:
-    arr = np.asarray(keys, dtype=object)
-    if len(arr) == 0:
+def _key_partition(keys: np.ndarray, P: int) -> np.ndarray:
+    """Partition assignment for an id array (int64 fast path: pure
+    numpy splitmix64, no Python objects in the exchange)."""
+    if len(keys) == 0:
         return np.zeros(0, dtype=np.int32)
-    h = H.hash_bytes_arrays(arr, seed=0xBEEF)
+    h = H.hash_ids(keys, seed=0xBEEF)
     return (h % np.uint64(P)).astype(np.int32)
 
 
@@ -91,14 +92,18 @@ def join_ds(
     assert not overlap, f"join column collision: {overlap} (pre-rename the right side)"
     l_types = dict(zip(lsch.names, lsch.types))
     r_types = dict(zip(rsch.names, rsch.types))
+    # int64 join keys stay int64 end-to-end (8-byte exchange keys, no
+    # Python-object round-trip); anything else is carried as string
+    key_is_int = pa.types.is_integer(l_types[on])
+    key_type = pa.int64() if key_is_int else pa.string()
 
     def tag_left(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        keys = batch.column(on).to_pylist()
+        keys = H.ids_np(batch.column(on).combine_chunks())
         cols = {
             "__p": pa.array(_key_partition(keys, P)),
             "__side": pa.array(np.full(n, _SIDE_L)),
-            "__key": batch.column(on).cast(pa.string()),
+            "__key": batch.column(on).cast(key_type),
         }
         for c in lcols:
             cols[c] = batch.column(c)
@@ -108,11 +113,11 @@ def join_ds(
 
     def tag_right(batch: pa.Table) -> pa.Table:
         n = len(batch)
-        keys = batch.column(right_on).to_pylist()
+        keys = H.ids_np(batch.column(right_on).combine_chunks())
         cols = {
             "__p": pa.array(_key_partition(keys, P)),
             "__side": pa.array(np.full(n, _SIDE_R)),
-            "__key": batch.column(right_on).cast(pa.string()),
+            "__key": batch.column(right_on).cast(key_type),
         }
         for c in lcols:
             cols[c] = pa.nulls(n, l_types[c])
@@ -150,8 +155,8 @@ def join_ds(
                 cols[c] = pa.nulls(len(lt), r_types[c])
             return pa.table(cols).cast(out_schema)
         rt = group.filter(pa.array(rmask))
-        lkeys = np.asarray(lt.column("__key").to_pylist(), dtype=object)
-        rkeys = np.asarray(rt.column("__key").to_pylist(), dtype=object)
+        lkeys = H.ids_np(lt.column("__key").combine_chunks())
+        rkeys = H.ids_np(rt.column("__key").combine_chunks())
         order = np.argsort(rkeys)
         rsorted = rkeys[order]
         if len(rsorted) > 1 and (rsorted[1:] == rsorted[:-1]).any():
@@ -206,21 +211,8 @@ def partitioned_groups(ds, key_col: str, partition_fn, cfg: DedupConfig):
     P = resolve_partitions(cfg)
 
     def tag(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col)
-        if pa.types.is_integer(keys.type):
-            import numpy as _np
-
-            from stack_trace_deduplication_ray.functions import hashing as H
-
-            k = keys.to_numpy(zero_copy_only=False).astype(_np.int64)
-            p = (H.splitmix64(k.view(_np.uint64)) % _np.uint64(P)).astype(
-                _np.int32
-            )
-        else:
-            from stack_trace_deduplication_ray.functions import hashing as H
-
-            p = _key_partition(keys.to_pylist(), P)
-        return batch.append_column("__p", pa.array(p))
+        keys = H.ids_np(batch.column(key_col).combine_chunks())
+        return batch.append_column("__p", pa.array(_key_partition(keys, P)))
 
     def run(part: pd.DataFrame):
         part = part.drop(columns="__p").sort_values(key_col, kind="stable")
@@ -257,19 +249,8 @@ def partitioned_groups_arrow(ds, key_col: str, partition_fn, cfg: DedupConfig):
     P = resolve_partitions(cfg)
 
     def tag(batch: pa.Table) -> pa.Table:
-        keys = batch.column(key_col)
-        if pa.types.is_integer(keys.type):
-            import numpy as _np
-
-            from stack_trace_deduplication_ray.functions import hashing as H
-
-            k = keys.to_numpy(zero_copy_only=False).astype(_np.int64)
-            p = (H.splitmix64(k.view(_np.uint64)) % _np.uint64(P)).astype(
-                _np.int32
-            )
-        else:
-            p = _key_partition(keys.to_pylist(), P)
-        return batch.append_column("__p", pa.array(p))
+        keys = H.ids_np(batch.column(key_col).combine_chunks())
+        return batch.append_column("__p", pa.array(_key_partition(keys, P)))
 
     def run(part: pa.Table) -> pa.Table:
         part = part.drop_columns(["__p"]).sort_by(key_col)

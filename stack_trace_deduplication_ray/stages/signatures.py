@@ -23,6 +23,29 @@ from stack_trace_deduplication_ray.stages.joins import resolve_actors
 
 U64 = np.uint64
 
+# Seed for the string-id -> int64 internal-id hash. Every exchange
+# (collapse, candidate shuffle, verify joins, CC) moves 8-byte int64
+# keys instead of Python string objects; the original string id is
+# carried ONLY in the materialized signature table ("orig_id") and
+# restored in run_dedup's final relabel join. Collision odds at n rows
+# are ~n^2/2^65 (1e-8 at 500k; ~1e-4 absolute pair-error rate at 1e9)
+# — for 10^12-row corpora either ship int64 ids natively (passthrough,
+# zero risk) or widen to a 2x int64 (128-bit) key pair.
+IID_SEED = 0x1D17_0B5E
+
+
+def internal_ids(col: "pa.ChunkedArray | pa.Array") -> tuple[pa.Array, bool]:
+    """Id column -> (int64 internal-id array, was_string).
+
+    Integer ids pass through unchanged (min-id keep-first semantics
+    preserved exactly); string ids are hashed to int64.
+    """
+    if pa.types.is_integer(col.type):
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        return arr.cast(pa.int64()), False
+    ids = H.ids_np(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+    return pa.array(H.hash_ids(ids, seed=IID_SEED).view(np.int64)), True
+
 
 def normalize_captions(captions: list[str], lowercase: bool = True) -> list[str]:
     """NFC + optional lowercase + whitespace collapse.
@@ -104,9 +127,12 @@ class SignatureStage:
         bands_list = pa.FixedSizeListArray.from_arrays(
             pa.array(bands.reshape(-1).view(np.int64)), n_bands
         )
+        iid, was_str = internal_ids(batch.column("image_id"))
+        orig = {"orig_id": batch.column("image_id")} if was_str else {}
         return pa.table(
             {
-                "image_id": batch.column("image_id"),
+                "image_id": iid,
+                **orig,
                 "caption_norm": pa.array(norm, type=pa.string()),
                 "caption_hash": pa.array(caption_hash.view(np.int64)),
                 "image_hash": pa.array(image_hash.view(np.int64)),
@@ -158,9 +184,12 @@ class TextSignatureStage(SignatureStage):
             pa.array(bands.reshape(-1).view(np.int64)), n_bands
         )
         ch64 = caption_hash.view(np.int64)
+        iid, was_str = internal_ids(batch.column("image_id"))
+        orig = {"orig_id": batch.column("image_id")} if was_str else {}
         return pa.table(
             {
-                "image_id": batch.column("image_id"),
+                "image_id": iid,
+                **orig,
                 "caption_norm": pa.array(norm, type=pa.string()),
                 "caption_hash": pa.array(ch64),
                 "exact_hash": pa.array(ch64),  # text-only exact key

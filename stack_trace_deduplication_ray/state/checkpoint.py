@@ -30,8 +30,16 @@ def config_fingerprint(cfg: DedupConfig, extra: str = "") -> str:
     input identifier supplied by the caller)."""
     import hashlib
 
-    payload = json.dumps(asdict(cfg), sort_keys=True, default=str) + "|" + extra
+    # _EDGE_SPACE_VERSION invalidates checkpoints written under an
+    # older edge-table id encoding (v3: int64 internal-id domain)
+    payload = (
+        json.dumps(asdict(cfg), sort_keys=True, default=str)
+        + "|" + _EDGE_SPACE_VERSION + "|" + extra
+    )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+_EDGE_SPACE_VERSION = "idspace-v3-int64"
 
 
 class StageCheckpoint:
