@@ -102,13 +102,17 @@ def window_hashes(flat: np.ndarray, k: int) -> np.ndarray:
     n = len(flat) - k + 1
     if n <= 0:
         return np.empty(0, dtype=U64)
-    win = np.lib.stride_tricks.sliding_window_view(flat, k).astype(U64)
+    # Horner scan: h_i = sum_j flat[i+j] * base^(k-1-j), computed as k
+    # vectorized passes over n-length arrays. The (n, k) uint64 window
+    # matrix this replaces allocated n*k*8 bytes (gigabytes at large
+    # batches) and was memory-bound; the scan keeps three n-length
+    # temporaries and produces bit-identical values.
+    f = flat.astype(U64)
     with np.errstate(**_ERR):
-        powers = np.empty(k, dtype=U64)
-        powers[-1] = U64(1)
-        for i in range(k - 2, -1, -1):  # k iterations, not per-row
-            powers[i] = (powers[i + 1] * _POLY_BASE) & _MASK64
-        h = (win * powers).sum(axis=1, dtype=U64)
+        h = np.zeros(n, dtype=U64)
+        for j in range(k):
+            h *= _POLY_BASE
+            h += f[j : j + n]
     return splitmix64(h)
 
 

@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import logging
 
+import numpy as np
 import pyarrow as pa
 
 from stack_trace_deduplication_ray.config import DEFAULT_CONFIG, DedupConfig
@@ -76,6 +77,93 @@ def _id_map(images_ds):
     return images_ds.select_columns(["image_id"]).map_batches(
         fn, batch_format="pyarrow"
     )
+
+
+def _apply_labels_with_names(id_map, labels: dict, cfg: DedupConfig):
+    """Driver-CC fast path: cluster assignment AND original-name
+    restore in two shuffle-free map passes over the id map.
+
+    `labels`: {iid -> root_iid} for every node with >= 1 edge (the
+    driver union-find output). Pass A computes each component's name
+    (MIN original id over its members) as per-batch partial minima
+    merged on the driver — partial volume is bounded by the touched
+    (non-singleton) rows, the same regime that made driver CC
+    applicable. Pass B emits (image_id=orig, cluster_id=name) with
+    singletons labelling themselves. No joins, no exchanges.
+    """
+    import pandas as pd
+    import ray
+
+    if not labels:
+        def identity(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "image_id": batch.column("orig_id"),
+                    "cluster_id": batch.column("orig_id"),
+                }
+            )
+
+        return id_map.map_batches(identity, batch_format="pyarrow")
+
+    keys = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
+    roots = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
+    order = np.argsort(keys)
+    keys, roots = keys[order], roots[order]
+    ref = ray.put((keys, roots))
+
+    def partial_names(batch: pa.Table) -> pa.Table:
+        k, r = ray.get(ref)
+        iids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        pos = np.searchsorted(k, iids)
+        pos_c = np.minimum(pos, len(k) - 1)
+        hit = k[pos_c] == iids
+        if not hit.any():
+            return pa.table(
+                {
+                    "root": pa.array([], type=pa.int64()),
+                    "name": pa.array([], type=pa.string()),
+                }
+            )
+        sub_root = r[pos_c[hit]]
+        sub_orig = np.asarray(
+            batch.column("orig_id").to_pylist(), dtype=object
+        )[hit]
+        df = pd.DataFrame({"root": sub_root, "name": sub_orig})
+        m = df.groupby("root", sort=False)["name"].min().reset_index()
+        return pa.table(
+            {
+                "root": pa.array(m["root"].to_numpy(), type=pa.int64()),
+                "name": pa.array(list(m["name"]), type=pa.string()),
+            }
+        )
+
+    parts = id_map.map_batches(partial_names, batch_format="pyarrow").to_pandas()
+    names = parts.groupby("root")["name"].min()
+    nroot = np.asarray(names.index.to_numpy(), dtype=np.int64)
+    nname = np.asarray(names.to_numpy(), dtype=object)
+    o = np.argsort(nroot)
+    name_ref = ray.put((keys, roots, nroot[o], nname[o]))
+
+    def emit(batch: pa.Table) -> pa.Table:
+        k, r, nr, nn = ray.get(name_ref)
+        iids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        orig = np.asarray(batch.column("orig_id").to_pylist(), dtype=object)
+        out = orig.copy()
+        pos = np.searchsorted(k, iids)
+        pos_c = np.minimum(pos, len(k) - 1)
+        hit = k[pos_c] == iids
+        if hit.any():
+            root_of = r[pos_c[hit]]
+            npos = np.searchsorted(nr, root_of)
+            out[hit] = nn[npos]
+        return pa.table(
+            {
+                "image_id": pa.array(orig, type=pa.string()),
+                "cluster_id": pa.array(out, type=pa.string()),
+            }
+        )
+
+    return id_map.map_batches(emit, batch_format="pyarrow")
 
 
 def _restore_names(clusters_int, id_map, cfg: DedupConfig):
@@ -253,6 +341,7 @@ def run_dedup(
             ckpt.load("exact_edges").union(ckpt.load("verified_edges")), cfg
         ).materialize()
         stats = []
+        sigs = None
     else:
         sigs = (
             signature_stage(images_ds, cfg)
@@ -267,12 +356,27 @@ def run_dedup(
     sch = images_ds.schema()
     input_id_type = dict(zip(sch.names, sch.types))["image_id"]
     id_is_str = not pa.types.is_integer(input_id_type)
-    id_map = _id_map(images_ds)
-    clusters = cc_mod.assign_clusters(
-        id_map.select_columns(["image_id"]), edges, cfg
+    # id map source: the MATERIALIZED signature table when available
+    # (column-plucks from the object store; the wide input `bytes`
+    # column is never re-read), else a narrow pass over the input
+    # (full-resume path, where signatures were skipped)
+    id_cols = ["image_id"] + (["orig_id"] if id_is_str else [])
+    id_map = (
+        sigs.select_columns(id_cols)
+        if sigs is not None
+        else _id_map(images_ds).materialize()
     )
-    if id_is_str:
-        clusters = _restore_names(clusters, id_map, cfg)
+    if id_is_str and edges.count() <= cfg.driver_cc_max_edges:
+        # fast path: driver union-find + broadcast name restore —
+        # zero exchanges after the edge table
+        labels = cc_mod.driver_union_find(edges)
+        clusters = _apply_labels_with_names(id_map, labels, cfg)
+    else:
+        clusters = cc_mod.assign_clusters(
+            id_map.select_columns(["image_id"]), edges, cfg
+        )
+        if id_is_str:
+            clusters = _restore_names(clusters, id_map, cfg)
     return {"clusters": clusters, "edges": edges, "stats": stats}
 
 

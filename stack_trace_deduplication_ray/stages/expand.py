@@ -108,28 +108,56 @@ def winnow_fingerprints(
     """
     flat, offs = H.concat_utf8(norm_captions)
     n = len(offs) - 1
-    out_fps: list[np.ndarray] = []
-    counts = np.zeros(n, dtype=np.int64)
+    lens = np.diff(offs)
     wh_all = H.window_hashes(flat, L) if len(flat) >= L else np.empty(0, dtype=U64)
-    for i in range(n):  # per-row slicing; inner ops vectorized
-        s, e = offs[i], offs[i + 1]
-        if e - s < L:
-            counts[i] = 0
-            continue
-        wh = wh_all[s : e - L + 1]
-        if len(wh) <= window:
-            fps = np.array([wh.min()], dtype=U64)
-        else:
-            sw = np.lib.stride_tricks.sliding_window_view(wh, window)
-            fps = np.unique(sw.min(axis=1))
-        out_fps.append(fps)
-        counts[i] = len(fps)
+    # Fully vectorized across the batch (the per-row loop here was the
+    # single most expensive map of the flagship at 500k rows: 93 s ->
+    # sub-second). Pack every row's L-gram hash run into one array,
+    # take ONE global sliding-window min, and keep only windows that
+    # lie fully inside a row.
+    h = np.maximum(lens - L + 1, 0)  # L-gram hashes per row
+    total = int(h.sum())
+    empty_offsets = np.zeros(n + 1, dtype=np.int64)
+    if total == 0:
+        return np.empty(0, dtype=U64), empty_offsets
+    rows_with = np.nonzero(h > 0)[0]
+    c = h[rows_with]
+    seg_end = np.cumsum(c)
+    seg_start = seg_end - c
+    ar = np.arange(total, dtype=np.int64) - np.repeat(seg_start, c)
+    gather = np.repeat(offs[rows_with], c) + ar
+    seq = wh_all[gather]  # packed per-row hash runs, row-contiguous
+    row_of = np.repeat(rows_with, c)
+
+    if total >= window:
+        wmin = np.lib.stride_tricks.sliding_window_view(seq, window).min(axis=1)
+        wrow = row_of[: total - window + 1]
+        keep = row_of[window - 1 :] == wrow  # window start/end in same row
+        mins = wmin[keep]
+        mrows = wrow[keep]
+    else:
+        mins = np.empty(0, dtype=U64)
+        mrows = np.empty(0, dtype=np.int64)
+    # rows with fewer than `window` hashes keep one fingerprint: the
+    # min of the whole run (same semantics as the per-row version)
+    seg_min = np.minimum.reduceat(seq, seg_start)
+    short = c < window
+    if short.any():
+        mins = np.concatenate([mins, seg_min[short]])
+        mrows = np.concatenate([mrows, rows_with[short]])
+
+    # per-row unique, ascending within each row (== np.unique per row)
+    order = np.lexsort((mins, mrows))
+    mr = mrows[order]
+    mv = mins[order]
+    first = np.ones(len(mv), dtype=bool)
+    first[1:] = (mr[1:] != mr[:-1]) | (mv[1:] != mv[:-1])
+    mr = mr[first]
+    mv = mv[first]
+    counts = np.bincount(mr, minlength=n)
     offsets = np.zeros(n + 1, dtype=np.int64)
     np.cumsum(counts, out=offsets[1:])
-    fp = (
-        np.concatenate(out_fps) if out_fps else np.empty(0, dtype=U64)
-    )
-    return fp, offsets
+    return mv.astype(U64), offsets
 
 
 def expand_substring(sigs_ds, cfg: DedupConfig):

@@ -83,6 +83,40 @@ def _jaccard_batch(cap_a: list[str], cap_b: list[str], k: int) -> np.ndarray:
     return out
 
 
+def _substring_batch(
+    cap_a: list[str], cap_b: list[str], L: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Shared >=L-char-window test per pair, hashing BATCHED.
+
+    One shingle_hashes call per side (in-row L-gram windows, the same
+    rolling-hash values the winnowing expansion buckets on); the only
+    per-pair work left is the sorted-set intersection. Rows shorter
+    than L cannot share an L-char substring and are masked out (the
+    batched hasher would otherwise give them a whole-row fallback
+    hash).
+
+    Returns (keep mask, score) arrays.
+    """
+    n = len(cap_a)
+    wa, oa = H.shingle_hashes(cap_a, L)
+    wb, ob = H.shingle_hashes(cap_b, L)
+    keep = np.zeros(n, dtype=bool)
+    score = np.zeros(n, dtype=np.float64)
+    for i in range(n):  # candidate pairs only — small relative to corpus
+        la, lb = len(cap_a[i]), len(cap_b[i])
+        if la < L or lb < L:
+            continue
+        inter = np.intersect1d(
+            wa[oa[i] : oa[i + 1]], wb[ob[i] : ob[i + 1]]
+        ).size
+        if inter > 0:
+            keep[i] = True
+            # score = length of longest shared run, approximated by
+            # (#shared L-grams + L - 1) normalized by the shorter len
+            score[i] = min(1.0, (inter + L - 1) / max(1, min(la, lb)))
+    return keep, score
+
+
 def verify_minhash(edges, sigs, cfg: DedupConfig):
     """Keep pairs with exact shingle Jaccard >= cfg.jaccard_threshold."""
     feats = sigs.select_columns(["image_id", "caption_norm"])
@@ -112,21 +146,7 @@ def verify_substring(edges, sigs, cfg: DedupConfig):
     def score(batch: pa.Table) -> pa.Table:
         a = batch.column("caption_norm_src").to_pylist()
         b = batch.column("caption_norm_dst").to_pylist()
-        n = len(a)
-        keep = np.zeros(n, dtype=bool)
-        score_v = np.zeros(n, dtype=np.float64)
-        for i in range(n):
-            fa, _ = H.concat_utf8([a[i]])
-            fb, _ = H.concat_utf8([b[i]])
-            wa = H.window_hashes(fa, L)
-            wb = H.window_hashes(fb, L)
-            if len(wa) and len(wb):
-                inter = np.intersect1d(wa, wb).size
-                if inter > 0:
-                    keep[i] = True
-                    # score = length of longest shared run, approximated
-                    # by (#shared L-grams + L - 1) normalized by shorter len
-                    score_v[i] = min(1.0, (inter + L - 1) / max(1, min(len(a[i]), len(b[i]))))
+        keep, score_v = _substring_batch(a, b, L)
         out = batch.select(["src", "dst", "stage"]).filter(pa.array(keep))
         return out.append_column("score", pa.array(score_v[keep], type=pa.float64()))
 
@@ -298,20 +318,14 @@ def verify_fused(edges, sigs, cfg: DedupConfig, has_image: bool):
                 ok = jac >= cfg.jaccard_threshold
                 keep[mh_idx] = ok
                 sc[mh_idx] = np.where(ok, jac, 0.0)
-            for i in ss_idx:  # candidate pairs only — small
-                fa, _ = H.concat_utf8([cap_a[i]])
-                fb, _ = H.concat_utf8([cap_b[i]])
-                wa = H.window_hashes(fa, L)
-                wb = H.window_hashes(fb, L)
-                if len(wa) and len(wb):
-                    inter = np.intersect1d(wa, wb).size
-                    if inter > 0:
-                        keep[i] = True
-                        sc[i] = min(
-                            1.0,
-                            (inter + L - 1)
-                            / max(1, min(len(cap_a[i]), len(cap_b[i]))),
-                        )
+            if len(ss_idx):
+                ss_keep, ss_sc = _substring_batch(
+                    [cap_a[i] for i in ss_idx],
+                    [cap_b[i] for i in ss_idx],
+                    L,
+                )
+                keep[ss_idx] = ss_keep
+                sc[ss_idx] = ss_sc
 
         sh_idx = np.nonzero(st == "simhash")[0]
         if len(sh_idx):
