@@ -71,6 +71,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_first_event": relational.users_first_event,
         "events_sessionize": relational.events_sessionize,
         "events_prev_same_type": relational.events_prev_same_type,
+        "events_replay_attach": relational.events_replay_attach,
         "systematic_sample": relational.systematic_sample,
         "normalized_texts": relational.normalized_texts,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
@@ -221,6 +222,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
                    count(*) AS n_events
             FROM sess GROUP BY user_id, session_id
+        """,
+        "events_replay_attach": """
+            SELECT event_id,
+                   issue_id,
+                   CASE WHEN issue_id = event_id THEN 1 ELSE 0 END AS is_new
+            FROM (
+                SELECT event_id,
+                       min(event_id) OVER (
+                           PARTITION BY event_type, props
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) AS issue_id
+                FROM events
+            )
         """,
         "events_prev_same_type": """
             SELECT event_id, prev_event_id FROM (

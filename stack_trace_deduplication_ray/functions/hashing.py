@@ -79,6 +79,41 @@ def hash_ids(ids: np.ndarray, seed: int = 0) -> np.ndarray:
     return hash_bytes_arrays(arr, seed)
 
 
+def binary_from_fixed(mat: np.ndarray):
+    """(n, width) uint8 matrix -> Arrow variable-width binary array.
+
+    Fixed-size-list columns pad to FULL-WIDTH zero child buffers when
+    a join/union nulls them (pa.nulls of fixed_size_list allocates
+    n*width bytes); variable binary nulls cost one offset. Signature
+    payloads (thumbs, band keys) are therefore carried as binary.
+    """
+    import pyarrow as pa
+
+    n, width = mat.shape
+    offsets = (np.arange(n + 1, dtype=np.int32) * width).tobytes()
+    return pa.BinaryArray.from_buffers(
+        pa.binary(), n,
+        [None, pa.py_buffer(offsets),
+         pa.py_buffer(np.ascontiguousarray(mat).tobytes())],
+    )
+
+
+def fixed_from_binary(col, width: int) -> np.ndarray:
+    """Arrow binary column of `width`-byte values -> (n, width) uint8
+    matrix (vectorized gather; handles chunk offsets/slices)."""
+    import pyarrow as pa
+
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    if len(arr) == 0:
+        return np.empty((0, width), dtype=np.uint8)
+    offs = np.frombuffer(arr.buffers()[1], dtype=np.int32)[
+        arr.offset : arr.offset + len(arr) + 1
+    ]
+    data = np.frombuffer(arr.buffers()[2], dtype=np.uint8)
+    idx = offs[:-1].astype(np.int64)[:, None] + np.arange(width)[None, :]
+    return data[idx]
+
+
 def concat_utf8(strings: "np.ndarray | list[str]") -> tuple[np.ndarray, np.ndarray]:
     """Encode a batch of strings to one flat uint8 array + offsets.
 

@@ -23,8 +23,78 @@ import numpy as np
 import pyarrow as pa
 import ray
 
-from stack_trace_deduplication_ray.pipelines.similarity import _emb_matrix
+from stack_trace_deduplication_ray.pipelines.similarity import (
+    _emb_matrix,
+    _probe_sample,
+)
 from stack_trace_deduplication_ray.sources.tables import read_table
+
+
+# Above this corpus size the exact-eval queries stop broadcasting the
+# full N x d matrix (which breaks before the compute does) and switch
+# to the sampled-query transposed path: a seeded probe sample is the
+# broadcast side (Q x d, small) and every corpus batch scores itself
+# against the probes — O(N*Q) one-pass, exact top-k FOR THE SAMPLED
+# QUERIES. Reference analog of the top-50 retrieval cut the reference
+# evaluates through (retrieval_stage.py:121-126, arg_parsers.py:12).
+EVAL_BROADCAST_MAX_ROWS = 100_000
+
+
+def _sampled_first_correct_ranks(
+    sf_dir: str, k: int = 10, n_queries: int = 512, seed: int = 23
+):
+    """Sampled-path ranks: exact cosine top-k of each PROBE query,
+    computed transposed (corpus batches x broadcast probe matrix) with
+    per-batch partial top-k and a small driver-side merge. Emits the
+    same (rank, top_score, top1_match) layout as the full path."""
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    q_ids, q_mat, q_lab = _probe_sample(ds, n_queries, seed)
+    ref = ray.put((q_ids, q_mat))
+
+    def partial_topk(batch: pa.Table) -> pa.Table:
+        ids_q, q = ray.get(ref)
+        ids, m = _emb_matrix(batch)
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        nm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = nm @ q.T  # (b, Q)
+        # leave-one-out: a probe never retrieves itself
+        self_mask = ids[:, None].astype(np.int64) == ids_q[None, :]
+        sims[self_mask] = -np.inf
+        kk = min(k, sims.shape[0])
+        top = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # (kk, Q)
+        qi = np.repeat(np.arange(sims.shape[1]), kk)
+        ri = top.T.reshape(-1)
+        return pa.table(
+            {
+                "q": pa.array(qi.astype(np.int64)),
+                "cos": pa.array(sims[ri, qi]),
+                "cand_id": pa.array(ids[ri].astype(np.int64)),
+                "cand_lab": pa.array(lab[ri]),
+            }
+        )
+
+    parts = ds.map_batches(partial_topk, batch_format="pyarrow").to_pandas()
+    parts = parts[np.isfinite(parts["cos"])]
+    ranks = np.zeros(len(q_ids), dtype=np.int64)
+    top_score = np.full(len(q_ids), -np.inf)
+    top1 = np.zeros(len(q_ids), dtype=np.int64)
+    for qi, g in parts.groupby("q"):
+        g = g.sort_values(["cos", "cand_id"], ascending=[False, True]).head(k)
+        match = (g["cand_lab"].to_numpy() == q_lab[qi]).astype(bool)
+        ranks[qi] = int(match.argmax()) + 1 if match.any() else 0
+        top_score[qi] = float(g["cos"].iloc[0])
+        top1[qi] = int(match[0]) if len(match) else 0
+    import ray.data as rd
+
+    return rd.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array(ranks),
+                "top_score": pa.array(top_score),
+                "top1_match": pa.array(top1),
+            }
+        )
+    )
 
 
 def _broadcast_corpus(sf_dir: str):
@@ -44,11 +114,25 @@ def _broadcast_corpus(sf_dir: str):
     return ds, ray.put((ids, mat, lab))
 
 
-def _first_correct_ranks(sf_dir: str, k: int = 10):
+def _first_correct_ranks(
+    sf_dir: str, k: int = 10, max_broadcast_rows: int | None = None
+):
     """Per-query rank (1-based, within top-k, 0 = none) of the first
     candidate whose label matches; candidates ordered (cos desc,
     vec_id asc). Also returns (top_score, top1_match) per query for
-    the threshold battery. Emitted as per-batch partial tables."""
+    the threshold battery. Emitted as per-batch partial tables.
+
+    Corpora above `max_broadcast_rows` (default
+    EVAL_BROADCAST_MAX_ROWS) take the sampled-query path — the full
+    N x d broadcast is gated, never implicit at scale."""
+    limit = (
+        EVAL_BROADCAST_MAX_ROWS
+        if max_broadcast_rows is None
+        else max_broadcast_rows
+    )
+    probe = read_table(sf_dir, "embeddings", columns=["vec_id"])
+    if probe.count() > limit:
+        return _sampled_first_correct_ranks(sf_dir, k)
     ds, ref = _broadcast_corpus(sf_dir)
 
     def ranks(batch: pa.Table) -> pa.Table:

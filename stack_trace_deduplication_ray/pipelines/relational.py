@@ -357,6 +357,68 @@ def events_prev_same_type(sf_dir: str, forget_minutes: int = 60):
     return partitioned_groups(ds, "event_type", links, DedupConfig())
 
 
+def events_replay_attach(sf_dir: str):
+    """Chronological replay protocol over the events log — the
+    reference's evaluation model applied as one batch query: events
+    are conceptually applied one at a time against the issue state so
+    far ("a query only sees earlier reports",
+    /root/reference/ea/sim/main/data/buckets/event_state_model.py:106-121),
+    each event either ATTACHES to the live issue whose key
+    (event_type, props) it matches or OPENS a new issue
+    (is_new_issue, event_state_model.py:28-30).
+
+    issue_id(e) = the FIRST (min) event_id among same-key events at or
+    before e in (ts, event_id) order; is_new = 1 iff e opened the
+    issue. Computed as a hash-partitioned groupwise cumulative min
+    (whole key groups co-located, one shuffle, vectorized cummin per
+    partition).
+
+    Output (event_id, issue_id, is_new). SQL-expressible (windowed
+    cumulative MIN) -> DuckDB oracle ★.
+    """
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.functions import hashing as H
+    from stack_trace_deduplication_ray.stages.joins import partitioned_groups
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "event_type", "props", "ts"]
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pylist()
+        pr = batch.column("props").to_pylist()
+        k = H.hash_bytes_arrays(
+            np.asarray([f"{a}\x1f{b}" for a, b in zip(et, pr)], dtype=object),
+            seed=0x5E51,
+        )
+        return batch.append_column("rkey", pa.array(k.view(np.int64)))
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+
+    def attach(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            ["event_type", "props", "ts", "event_id"], kind="stable"
+        )
+        issue = (
+            g.groupby(["event_type", "props"], sort=False)["event_id"]
+            .cummin()
+            .to_numpy()
+        )
+        eid = g["event_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "event_id": eid.astype(np.int64),
+                "issue_id": issue.astype(np.int64),
+                "is_new": (issue == eid).astype(np.int64),
+            }
+        )
+
+    return partitioned_groups(
+        keyed.select_columns(["rkey", "event_type", "props", "ts", "event_id"]),
+        "rkey", attach, DedupConfig(),
+    )
+
+
 def systematic_sample(sf_dir: str, modulus: int = 10):
     """Deterministic systematic sample: doc_id % modulus == 0
     (K6 sampling analog with an exactly SQL-matchable rule)."""

@@ -106,6 +106,37 @@ def same_label_near_pairs(sf_dir: str, threshold: float = 0.4):
     )
 
 
+def _probe_sample(ds, n_queries: int, seed: int):
+    """Seeded hash-sample of ~n_queries probe rows -> (ids, matrix,
+    labels), L2-normalized. Small by construction."""
+    from stack_trace_deduplication_ray.functions import hashing as H
+
+    n = ds.count()
+    mod = max(1, n // max(1, n_queries))
+
+    def flt(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = (
+            H.hash_ids(ids.astype(np.int64), seed=seed) % np.uint64(mod) == 0
+        )
+        return batch.filter(pa.array(mask))
+
+    ids_l, mats, labs = [], [], []
+    for b in ds.map_batches(flt, batch_format="pyarrow").iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        i, m = _emb_matrix(b)
+        ids_l.append(i)
+        mats.append(m)
+        labs.append(b.column("label").to_numpy(zero_copy_only=False))
+    ids = np.concatenate(ids_l).astype(np.int64)
+    mat = np.concatenate(mats)
+    lab = np.concatenate(labs)
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    return ids, mat, lab
+
+
+
 class HyperplaneLSH:
     """Random-hyperplane SimHash bucketer for embeddings (actor pool:
     the projection matrix is built once per actor from the seed)."""
@@ -129,6 +160,13 @@ class HyperplaneLSH:
                 "vec_id": pa.array(np.concatenate(out_ids)),
             }
         )
+
+
+# Materialized LSH pair tables, memoized per exact parameterization so
+# evaluation queries (ann_recall) REUSE the table instead of re-running
+# the whole bucket->pair->join chain. Input dirs are immutable test
+# data; entries are materialized Datasets held in the object store.
+_LSH_PAIR_CACHE: dict = {}
 
 
 def lsh_near_pairs(
@@ -165,6 +203,10 @@ def lsh_near_pairs(
     )
 
     logger = logging.getLogger(__name__)
+    cache_key = (sf_dir, threshold, n_bits, n_tables, bucket_cap)
+    cached = _LSH_PAIR_CACHE.get(cache_key)
+    if cached is not None:
+        return cached
     cfg = DedupConfig()
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     first = next(iter(ds.limit(1).iter_batches(batch_size=1, batch_format="pyarrow")))
@@ -272,35 +314,106 @@ def lsh_near_pairs(
             }
         )
 
-    return ensure_schema(
+    out = ensure_schema(
         j2.map_batches(score, batch_format="pyarrow"),
         pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("cos", pa.float64())]),
-    )
+    ).materialize()
+    _LSH_PAIR_CACHE[cache_key] = out
+    return out
 
 
-def ann_recall(sf_dir: str, threshold: float = 0.4):
-    """Candidate recall of the LSH path vs the exact threshold join:
-    |LSH pairs| / |exact pairs| at the same threshold (the reference's
-    retrieval-quality evaluation shape applied to the ANN stage).
-    Output one row (n_exact, n_lsh, n_hit, recall rounded 4);
+def ann_recall(
+    sf_dir: str,
+    threshold: float = 0.4,
+    n_queries: int = 64,
+    sample_seed: int = 17,
+):
+    """Candidate recall of the LSH path, estimated over a SEEDED QUERY
+    SAMPLE (the reference's retrieval-quality evaluation shape applied
+    to the ANN stage).
+
+    Scale shape: the LSH pair table is built ONCE and materialized;
+    the exact side computes the true >=threshold neighbors of only
+    ~n_queries hash-sampled probe vectors (one distributed pass, each
+    batch scored against the broadcast Q x d probe matrix — O(N*Q),
+    never the full N x N matrix or a driver-side matrix pull). Recall
+    = |LSH pairs touching a probe ∩ exact probe pairs| / |exact probe
+    pairs|; only the probe-restricted pair sets (bounded by probe
+    neighborhood sizes) reach the driver.
+
+    Output one row (n_queries, n_exact, n_hit, recall rounded 4);
     rows-only driver check (the LSH side is probabilistic by design,
-    seeded -> deterministic per config)."""
-    exact = {
-        (int(r["src"]), int(r["dst"]))
-        for r in all_near_pairs_exact(sf_dir, threshold).to_pylist()
-    }
-    lsh = {
-        (int(r["src"]), int(r["dst"]))
-        for b in lsh_near_pairs(sf_dir, threshold).iter_batches(
-            batch_size=65536, batch_format="pyarrow"
+    seeded -> deterministic per config).
+    """
+    from stack_trace_deduplication_ray.functions import hashing as H
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_vec = ds.count()
+    mod = max(1, n_vec // max(1, n_queries))
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = (
+            H.hash_ids(ids.astype(np.int64), seed=sample_seed)
+            % np.uint64(mod)
+            == 0
         )
-        for r in b.to_pylist()
-    }
+        return batch.filter(pa.array(mask))
+
+    probes = ds.map_batches(probe_filter, batch_format="pyarrow")
+    p_ids_l, p_mats = [], []
+    for b in probes.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        i, m = _emb_matrix(b)
+        p_ids_l.append(i)
+        p_mats.append(m)
+    p_ids = np.concatenate(p_ids_l) if p_ids_l else np.empty(0, np.int64)
+    assert len(p_ids), "query sample is empty"
+    p_mat = np.concatenate(p_mats)
+    p_mat = p_mat / np.maximum(
+        np.linalg.norm(p_mat, axis=1, keepdims=True), 1e-12
+    )
+    ref = ray.put((p_ids.astype(np.int64), p_mat))
+
+    def exact_probe_pairs(batch: pa.Table) -> pa.Table:
+        q_ids, q = ray.get(ref)
+        ids, m = _emb_matrix(batch)
+        nm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = nm @ q.T  # (b, Q)
+        rows, cols = np.nonzero(sims >= threshold)
+        a = ids[rows].astype(np.int64)
+        b_ = q_ids[cols]
+        sel = a != b_
+        return pa.table(
+            {
+                "src": pa.array(np.minimum(a, b_)[sel]),
+                "dst": pa.array(np.maximum(a, b_)[sel]),
+            }
+        )
+
+    exact_tbl = (
+        ds.map_batches(exact_probe_pairs, batch_format="pyarrow").to_pandas()
+    )
+    exact = set(zip(exact_tbl["src"], exact_tbl["dst"]))
+
+    probe_set = set(int(x) for x in p_ids)
+    lsh_pairs = lsh_near_pairs(sf_dir, threshold)  # memoized+materialized
+
+    def touching(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.or_(
+            pc.is_in(batch.column("src"), value_set=pa.array(list(probe_set))),
+            pc.is_in(batch.column("dst"), value_set=pa.array(list(probe_set))),
+        )
+        return batch.filter(keep).select(["src", "dst"])
+
+    lsh_tbl = lsh_pairs.map_batches(touching, batch_format="pyarrow").to_pandas()
+    lsh = set(zip(lsh_tbl["src"], lsh_tbl["dst"]))
     hit = len(exact & lsh)
     return pa.table(
         {
+            "n_queries": pa.array([len(p_ids)], type=pa.int64()),
             "n_exact": pa.array([len(exact)], type=pa.int64()),
-            "n_lsh": pa.array([len(lsh)], type=pa.int64()),
             "n_hit": pa.array([hit], type=pa.int64()),
             "recall": pa.array(
                 [round(hit / len(exact), 4) if exact else 1.0],
@@ -354,16 +467,76 @@ def all_near_pairs_exact(sf_dir: str, threshold: float = 0.4):
     )
 
 
-def knn_label_accuracy(sf_dir: str):
+def _sampled_knn_label_accuracy(ds, n_queries: int = 512, seed: int = 23):
+    """Sampled-path leave-one-out 1-NN accuracy: exact nearest
+    neighbor of each seeded probe, computed transposed (corpus
+    batches x broadcast Q x d probe matrix, per-batch partial best,
+    small driver merge). Output (n=|probes|, correct, accuracy)."""
+    q_ids, q_mat, q_lab = _probe_sample(ds, n_queries, seed)
+    ref = ray.put((q_ids, q_mat))
+
+    def partial_best(batch: pa.Table) -> pa.Table:
+        ids_q, q = ray.get(ref)
+        ids, m = _emb_matrix(batch)
+        lab = batch.column("label").to_numpy(zero_copy_only=False)
+        nm = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        sims = nm @ q.T  # (b, Q)
+        sims[ids[:, None].astype(np.int64) == ids_q[None, :]] = -np.inf
+        # per-query best in this batch, tie -> smallest candidate id
+        order = np.lexsort((ids, -sims.T))  # per query: (-cos, id)
+        best = order[:, 0]
+        return pa.table(
+            {
+                "q": pa.array(np.arange(sims.shape[1], dtype=np.int64)),
+                "cos": pa.array(sims[best, np.arange(sims.shape[1])]),
+                "cand_id": pa.array(ids[best].astype(np.int64)),
+                "cand_lab": pa.array(lab[best]),
+            }
+        )
+
+    parts = ds.map_batches(partial_best, batch_format="pyarrow").to_pandas()
+    parts = parts[np.isfinite(parts["cos"])]
+    best = parts.sort_values(
+        ["q", "cos", "cand_id"], ascending=[True, False, True]
+    ).groupby("q", sort=True).head(1)
+    correct = int(
+        (best["cand_lab"].to_numpy() == q_lab[best["q"].to_numpy()]).sum()
+    )
+    n = len(q_ids)
+    return pa.table(
+        {
+            "n": pa.array([n], type=pa.int64()),
+            "correct": pa.array([correct], type=pa.int64()),
+            "accuracy": pa.array([round(correct / n, 4)], type=pa.float64()),
+        }
+    )
+
+
+def knn_label_accuracy(sf_dir: str, max_broadcast_rows: int | None = None):
     """Leave-one-out 1-NN label accuracy over the embeddings table —
     the retrieval-quality evaluation shape of the reference
     (Accuracy@1 over ranked candidates, ea/sim/dev/evaluation/metrics/
     base/per_instance/accuracy.py:6-27) as one brute-force vectorized
     pass: every batch scores against the broadcast full matrix.
 
+    Corpora above `max_broadcast_rows` (default: evaluation.
+    EVAL_BROADCAST_MAX_ROWS) switch to the sampled-query transposed
+    path — the full-matrix broadcast is size-gated, never implicit.
+
     Output: one row (n, correct, accuracy rounded 4).
     """
+    from stack_trace_deduplication_ray.pipelines.evaluation import (
+        EVAL_BROADCAST_MAX_ROWS,
+    )
+
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding", "label"])
+    limit = (
+        EVAL_BROADCAST_MAX_ROWS
+        if max_broadcast_rows is None
+        else max_broadcast_rows
+    )
+    if ds.count() > limit:
+        return _sampled_knn_label_accuracy(ds)
     full = ds.materialize()
     ids_all, mats, labels_all = [], [], []
     for b in full.iter_batches(batch_size=8192, batch_format="pyarrow"):

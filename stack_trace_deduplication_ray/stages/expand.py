@@ -51,12 +51,9 @@ def expand_exact(sigs_ds):
 
 def expand_minhash(sigs_ds, cfg: DedupConfig):
     def fn(batch: pa.Table) -> pa.Table:
-        band_col = batch.column("bands")
-        flat = band_col.combine_chunks().flatten().to_numpy(
-            zero_copy_only=False
-        )
-        n = len(batch)
-        keys = flat.reshape(n, cfg.bands).view(U64)
+        keys = H.fixed_from_binary(
+            batch.column("bands"), cfg.bands * 8
+        ).view(U64)
         # rows with no shingles carry all-MAX signatures (identical
         # band keys); drop them so empty captions never collide
         nonempty = (

@@ -43,13 +43,15 @@ def resolve_actors(cfg: DedupConfig) -> int:
 
 
 def resolve_partitions(cfg: DedupConfig) -> int:
-    """cfg.num_partitions, or 2x cluster CPUs when left at 0."""
+    """cfg.num_partitions, or 2x cluster CPUs when left at 0 (measured
+    faster than 1x at 32 CPUs — smaller per-task merges stay cache-
+    resident; the classic 2-4 tasks/core rule)."""
     if cfg.num_partitions:
         return cfg.num_partitions
     import ray
 
     cpus = int(ray.cluster_resources().get("CPU", 4)) if ray.is_initialized() else 4
-    return max(8, cpus)
+    return max(16, 2 * cpus)
 
 
 def _key_partition(keys: np.ndarray, P: int) -> np.ndarray:
@@ -140,11 +142,21 @@ def join_ds(
             return out_schema.empty_table()
         lt = group.filter(pa.array(lmask))
         if dedup_left:
-            # first-occurrence mask computed on the (narrow) dedup key
-            # columns only; the payload columns stay Arrow
-            kdf = lt.select(dedup_left).to_pandas()
-            keep = ~kdf.duplicated(keep="first").to_numpy()
-            if not keep.all():
+            # first-occurrence mask via a composite 64-bit hash of the
+            # dedup key columns — pure numpy (the pandas object-dtype
+            # duplicated() this replaces dominated the verify joins).
+            # A 64-bit collision (~1e-19 per pair) can only drop one
+            # redundant candidate row, never corrupt a join.
+            key = np.zeros(len(lt), dtype=np.uint64)
+            for ci, c in enumerate(dedup_left):
+                h = H.hash_ids(
+                    H.ids_np(lt.column(c).combine_chunks()), seed=0xD0D0 + ci
+                )
+                key ^= (h << np.uint64(ci)) | (h >> np.uint64(64 - ci)) if ci else h
+            _, first_idx = np.unique(key, return_index=True)
+            if len(first_idx) < len(lt):
+                keep = np.zeros(len(lt), dtype=bool)
+                keep[first_idx] = True
                 lt = lt.filter(pa.array(keep))
         rmask = ~lmask
         if not rmask.any():

@@ -120,12 +120,12 @@ class SignatureStage:
             ).astype(np.uint8).reshape(-1)
             decode_ok[i] = True
 
-        n, n_bands = bands.shape
-        # all hash columns are stored as int64 (bit-cast): Ray's
-        # groupby/shuffle round-trips keys through Python ints, and
-        # uint64 values above 2^63 overflow the Arrow int64 rebuild.
-        bands_list = pa.FixedSizeListArray.from_arrays(
-            pa.array(bands.reshape(-1).view(np.int64)), n_bands
+        # bands / thumbs travel as variable-width BINARY payloads:
+        # fixed-size-list columns cost full-width zero buffers when a
+        # downstream join nulls them (measured ~900 MB of zeros in the
+        # verify exchange at 500k rows); binary nulls cost one offset.
+        bands_bin = H.binary_from_fixed(
+            bands.reshape(len(batch), -1).view(np.uint8)
         )
         iid, was_str = internal_ids(batch.column("image_id"))
         orig = {"orig_id": batch.column("image_id")} if was_str else {}
@@ -138,11 +138,9 @@ class SignatureStage:
                 "image_hash": pa.array(image_hash.view(np.int64)),
                 "exact_hash": pa.array(exact_hash.view(np.int64)),
                 "simhash": pa.array(simhash),
-                "bands": bands_list,
+                "bands": bands_bin,
                 "n_shingles": pa.array(n_shingles),
-                "thumb": pa.FixedSizeListArray.from_arrays(
-                    pa.array(thumbs.reshape(-1)), 256
-                ),
+                "thumb": H.binary_from_fixed(thumbs),
                 "decode_ok": pa.array(decode_ok),
             }
         )
@@ -179,9 +177,8 @@ class TextSignatureStage(SignatureStage):
         sh, offs = H.shingle_hashes(norm, cfg.shingle_k)
         sig = H.minhash_signatures(sh, offs, self.a, self.b)
         bands = H.band_keys(sig, cfg.bands, cfg.rows_per_band)
-        n, n_bands = bands.shape
-        bands_list = pa.FixedSizeListArray.from_arrays(
-            pa.array(bands.reshape(-1).view(np.int64)), n_bands
+        bands_bin = H.binary_from_fixed(
+            bands.reshape(len(batch), -1).view(np.uint8)
         )
         ch64 = caption_hash.view(np.int64)
         iid, was_str = internal_ids(batch.column("image_id"))
@@ -193,7 +190,7 @@ class TextSignatureStage(SignatureStage):
                 "caption_norm": pa.array(norm, type=pa.string()),
                 "caption_hash": pa.array(ch64),
                 "exact_hash": pa.array(ch64),  # text-only exact key
-                "bands": bands_list,
+                "bands": bands_bin,
                 "n_shingles": pa.array(np.diff(offs).astype(np.int32)),
             }
         )

@@ -231,12 +231,8 @@ def verify_simhash_psnr(edges, sigs, cfg: DedupConfig):
             return batch.select(["src", "dst", "stage"]).append_column(
                 "score", pa.array([], type=pa.float64())
             )
-        ta = np.stack(
-            batch.column("thumb_src").to_numpy(zero_copy_only=False)
-        ).astype(np.float64)
-        tb = np.stack(
-            batch.column("thumb_dst").to_numpy(zero_copy_only=False)
-        ).astype(np.float64)
+        ta = H.fixed_from_binary(batch.column("thumb_src"), 256).astype(np.float64)
+        tb = H.fixed_from_binary(batch.column("thumb_dst"), 256).astype(np.float64)
         ok = np.logical_and(
             batch.column("decode_ok_src").to_numpy(zero_copy_only=False),
             batch.column("decode_ok_dst").to_numpy(zero_copy_only=False),
@@ -329,15 +325,11 @@ def verify_fused(edges, sigs, cfg: DedupConfig, has_image: bool):
 
         sh_idx = np.nonzero(st == "simhash")[0]
         if len(sh_idx):
-            ta = np.stack(
-                batch.column("thumb_src")
-                .take(pa.array(sh_idx))
-                .to_numpy(zero_copy_only=False)
+            ta = H.fixed_from_binary(
+                batch.column("thumb_src").take(pa.array(sh_idx)), 256
             ).astype(np.float64)
-            tb = np.stack(
-                batch.column("thumb_dst")
-                .take(pa.array(sh_idx))
-                .to_numpy(zero_copy_only=False)
+            tb = H.fixed_from_binary(
+                batch.column("thumb_dst").take(pa.array(sh_idx)), 256
             ).astype(np.float64)
             ok_dec = np.logical_and(
                 batch.column("decode_ok_src").to_numpy(zero_copy_only=False)[sh_idx],
