@@ -483,7 +483,8 @@ def _sampled_knn_label_accuracy(ds, n_queries: int = 512, seed: int = 23):
         sims = nm @ q.T  # (b, Q)
         sims[ids[:, None].astype(np.int64) == ids_q[None, :]] = -np.inf
         # per-query best in this batch, tie -> smallest candidate id
-        order = np.lexsort((ids, -sims.T))  # per query: (-cos, id)
+        ids_b = np.broadcast_to(ids, sims.T.shape)
+        order = np.lexsort((ids_b, -sims.T), axis=1)  # per query: (-cos, id)
         best = order[:, 0]
         return pa.table(
             {
