@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         evaluation,
         ranking,
         relational,
+        rerank,
         similarity,
         text,
     )
@@ -87,6 +88,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- ranked-prediction evaluator battery ----------------------
         "retrieval_rank_metrics": evaluation.retrieval_rank_metrics,
         "retrieval_threshold_metrics": evaluation.retrieval_threshold_metrics,
+        # --- two-stage retrieve-then-rerank serving pipeline ----------
+        "retrieve_rerank_metrics": rerank.retrieve_rerank_metrics,
     }
 
 
