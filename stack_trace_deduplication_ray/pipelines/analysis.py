@@ -50,10 +50,20 @@ def token_document_frequency(sf_dir: str):
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
 
     def explode(batch: pa.Table) -> pa.Table:
-        toks: list[str] = []
-        for t in batch.column("text").to_pylist():
-            toks.extend(set(t.split(" ")))  # per-doc distinct (A10)
-        return pa.table({"token": pa.array(toks, type=pa.string())})
+        # per-doc distinct (A10), vectorized: Arrow split/flatten, then
+        # one C-speed exact dedup on (doc, token) — no Python loop, no
+        # hash-only dedup (this query is oracle-exact)
+        import pandas as pd
+        import pyarrow.compute as pc
+
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks_list).combine_chunks()
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        keep = ~pd.DataFrame(
+            {"d": doc_idx, "t": flat.to_pandas()}
+        ).duplicated().to_numpy()
+        return pa.table({"token": flat.filter(pa.array(keep))})
 
     return (
         ds.map_batches(explode, batch_format="pyarrow")

@@ -282,7 +282,11 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
 
     if expansions:
         def thunk():
-            cand_edges, st = cand.fused_pairs_from_buckets(expansions, cfg)
+            # sigs is materialized -> count() is metadata-cheap; drives
+            # the hot-detect sampling modulus (rows/1e5 auto-scale)
+            cand_edges, st = cand.fused_pairs_from_buckets(
+                expansions, cfg, approx_rows=sigs.count()
+            )
             thunk.stats = st
             # candidate edges are small (pairs, not rows) — materialize
             # so the verify graph does not re-execute the expansion +

@@ -46,19 +46,34 @@ def _df_fit(sf_dir: str) -> tuple[int, dict[int, int]]:
     n_docs = ds.count()
 
     def distinct(batch: pa.Table) -> pa.Table:
+        # vectorized per-doc distinct token hashes: ONE Arrow split +
+        # ONE C-speed hash pass over the flattened tokens, then a
+        # lexsort first-occurrence mask per (doc, hash) — semantics
+        # identical to per-doc np.unique(hash(tokens))
+        import pyarrow.compute as pc
+
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
-        out_h = []
-        for t in batch.column("text").to_pylist():
-            toks = t.split(" ")
-            out_h.append(np.unique(H.hash_bytes_arrays(toks)))
-        counts = np.fromiter(map(len, out_h), dtype=np.int64, count=len(out_h))
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks_list).combine_chunks()
+        if len(flat) == 0:
+            return pa.table(
+                {
+                    "tok": pa.array(np.empty(0, np.int64)),
+                    "doc_id": pa.array(np.empty(0, ids.dtype)),
+                }
+            )
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        th = H.hash_bytes_arrays(flat.to_numpy(zero_copy_only=False))
+        order = np.lexsort((th, doc_idx))
+        sd, sh = doc_idx[order], th[order]
+        first = np.ones(len(sh), dtype=bool)
+        first[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+        keep = order[first]
         return pa.table(
             {
-                "tok": pa.array(
-                    np.concatenate(out_h).view(np.int64)
-                    if out_h else np.empty(0, np.int64)
-                ),
-                "doc_id": pa.array(np.repeat(ids, counts)),
+                "tok": pa.array(th[keep].view(np.int64)),
+                "doc_id": pa.array(ids[doc_idx[keep]]),
             }
         )
 

@@ -240,7 +240,16 @@ def lsh_near_pairs(
                     "lsh_near_pairs: bucket of %d capped to %d "
                     "(raise bucket_cap or n_bits)", len(g), bucket_cap,
                 )
-                g = g[:bucket_cap]
+                # truncate on a hash-shuffled order: keeping the first
+                # bucket_cap ids of np.unique would systematically drop
+                # high-id vectors (biased recall loss); the splitmix
+                # order spreads the loss uniformly and stays seeded
+                from stack_trace_deduplication_ray.functions import (
+                    hashing as Hl,
+                )
+
+                ho = np.argsort(Hl.hash_ids(g.astype(np.int64), seed=0xCA9))
+                g = np.sort(g[ho[:bucket_cap]])
             i, j = np.triu_indices(len(g), k=1)
             src_all.append(g[i])
             dst_all.append(g[j])
@@ -636,18 +645,28 @@ def ivf_knn(
     scanned volume. Output (vec_id, cos rounded 4) sorted desc,
     self excluded; rows-only driver check (approximate by design).
     """
+    from stack_trace_deduplication_ray.functions import hashing as H
+
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
 
-    # ---- fit-once: sample -> centroids -> broadcast -------------------
-    ids_s, mats = [], []
-    taken = 0
-    for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
-        i, m = _emb_matrix(b)
-        ids_s.append(i)
+    # ---- fit-once: HASH-sample across the whole table -> centroids ->
+    # broadcast. A head-of-storage sample would bias the centroids on
+    # label/cluster-ordered tables (and probe-limited recall with it);
+    # the hash sample is order-independent and deterministic.
+    n_vec = ds.count()
+    smod = max(1, n_vec // max(1, fit_sample))
+
+    def fit_filter(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = H.hash_ids(ids.astype(np.int64), seed=0x1F5) % np.uint64(smod) == 0
+        return batch.filter(pa.array(mask))
+
+    mats = []
+    for b in ds.map_batches(fit_filter, batch_format="pyarrow").iter_batches(
+        batch_size=4096, batch_format="pyarrow"
+    ):
+        _, m = _emb_matrix(b)
         mats.append(m)
-        taken += len(i)
-        if taken >= fit_sample:
-            break
     sample = np.concatenate(mats)[:fit_sample].astype(np.float64)
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12

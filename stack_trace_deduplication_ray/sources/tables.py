@@ -59,5 +59,16 @@ def read_images(path: str, columns: list[str] | None = None):
                 "installed in this environment"
             )
     if os.path.isdir(path):
-        path = os.path.join(path, "images.parquet")
+        single = os.path.join(path, "images.parquet")
+        if os.path.exists(single):
+            path = single
+        else:
+            # sharded layout (images_*.parquet) from
+            # materialize_fixture_sharded / large production inputs
+            import glob
+
+            shards = sorted(glob.glob(os.path.join(path, "images*.parquet")))
+            if shards:
+                return rd.read_parquet(shards, columns=columns)
+            # plain directory of parquet parts
     return rd.read_parquet(path, columns=columns)

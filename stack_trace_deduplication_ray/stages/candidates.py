@@ -14,12 +14,13 @@ LSH buckets") is two-phase:
            merges the small partial-count tables; estimated count =
            sampled x mod. No full ``groupby(bucket).count()`` exchange
            (that pass doubled each stage's shuffle volume). Buckets
-           whose estimate clears the cap are salted; a hot bucket the
-           sample misses (only possible near the cap) degrades to the
-           in-partition chain fallback of phase B — connectivity
-           identical, just fewer redundant edges. At larger corpus
-           sizes raise ``hot_sample_mod`` proportionally (mod ~
-           rows/1e5) so the driver-side merge stays O(#hot + noise).
+           whose estimate clears cap/2 are salted (the halved
+           threshold absorbs Poisson sampling error — a bucket must be
+           under-sampled 2x to slip through; a missed one degrades to
+           the in-partition chain fallback of phase B — connectivity
+           identical, just fewer redundant edges). The modulus
+           auto-scales with corpus size (mod ~ rows/1e5, _auto_mod) so
+           the driver-side merge stays O(#hot + noise).
   phase B: the expansion re-keys hot rows to ``(bucket, salt)``
            sub-buckets of ~``salt_target`` members each; sub-buckets
            emit all-pairs edges internally, and a second tiny shuffle
@@ -123,7 +124,21 @@ def _group_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
     return starts, ends
 
 
-def _find_hot_buckets(expanded, cap: int, stage: str, cfg: DedupConfig):
+def _auto_mod(cfg: DedupConfig, approx_rows: int | None) -> int:
+    """Sampling modulus: cfg override, else derived from the corpus
+    size (~rows/1e5, floor 4) so the driver-side merge stays O(sample)
+    at any scale, else the legacy 16."""
+    if cfg.hot_sample_mod:
+        return cfg.hot_sample_mod
+    if approx_rows:
+        return max(4, approx_rows // 100_000)
+    return 16
+
+
+def _find_hot_buckets(
+    expanded, cap: int, stage: str, cfg: DedupConfig,
+    approx_rows: int | None = None,
+):
     """Sampled hot-bucket detection (no shuffle, no per-row Python).
 
     One map pass over the expansion: each batch hash-samples its rows
@@ -132,11 +147,19 @@ def _find_hot_buckets(expanded, cap: int, stage: str, cfg: DedupConfig):
     Estimated bucket size = total sampled count x mod. The result is
     independent of batching/parallelism (same sample -> same sums), so
     8-CPU and 32-CPU runs salt identically. The driver-side merge is
-    bounded by the sample size — raise `mod` with corpus size
-    (~rows/1e5) to keep it O(sample). mod=1 degenerates to the exact
+    bounded by the sample size; `mod` auto-scales with the corpus size
+    (_auto_mod) to keep it that way. mod=1 degenerates to the exact
     count (used by tests asserting salted == unsalted).
+
+    Sampling error: a bucket of true size S yields ~Poisson(S/mod)
+    sampled rows, so when mod > 1 the salting threshold is cap/2 —
+    a bucket must be missed by a 2x estimation error to stay unsalted
+    (e.g. a 128-row bucket at cap=64, mod=16 is salted unless the
+    sample sees <= 2 of its rows, p < 1e-2; the old threshold=cap
+    missed it ~10% of the time). Over-salting is only a small constant
+    overhead (salted semantics == unsalted, tested).
     """
-    mod = cfg.hot_sample_mod if cfg.hot_sample_mod else 16
+    mod = _auto_mod(cfg, approx_rows)
 
     def partial_counts(batch: pa.Table) -> pa.Table:
         b = batch.column("bucket").to_numpy(zero_copy_only=False)
@@ -182,9 +205,13 @@ def _find_hot_buckets_presampled(sampled, cap: int, stage: str, mod: int):
 def _hot_from_partials(parts: pd.DataFrame, cap: int, stage: str, mod: int):
     hot = {}
     max_est = 0
+    # sampled estimates (mod > 1) salt from cap/2 up — the margin that
+    # absorbs Poisson sampling error (see _find_hot_buckets); the exact
+    # count (mod == 1) salts strictly above cap
+    thresh = cap if mod == 1 else max(1, cap // 2)
     if len(parts):
         est = parts.groupby("bucket")["c"].sum() * mod
-        est = est[est > cap]
+        est = est[est > thresh]
         hot = {int(k): int(v) for k, v in est.items()}
         max_est = int(est.max()) if len(est) else 0
     stats = {
@@ -445,6 +472,7 @@ def _mix_keys(keys_i64: np.ndarray, seed: U64) -> np.ndarray:
 def fused_pairs_from_buckets(
     expansions: list[tuple["ray.data.Dataset", object, str]],
     cfg: DedupConfig,
+    approx_rows: int | None = None,
 ) -> tuple["ray.data.Dataset", dict]:
     """ONE candidate-generation shuffle for every sketch stage.
 
@@ -491,7 +519,7 @@ def fused_pairs_from_buckets(
 
         return fn
 
-    mod = cfg.hot_sample_mod if cfg.hot_sample_mod else 16
+    mod = _auto_mod(cfg, approx_rows)
 
     def sample_rows(batch: pa.Table) -> pa.Table:
         ids = H.ids_np(batch.column("image_id").combine_chunks())
