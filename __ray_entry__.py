@@ -47,6 +47,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "image_dedup_clusters": dedup.image_dedup_clusters,
         "image_dedup_recall": dedup.image_dedup_recall,
         "image_feature_table": dedup.image_feature_table,
+        "video_frame_table": dedup.video_frame_table,
         # --- dedup over documents (SURVEY §2.6, north_rule core) -----
         "exact_dedup_keep_first": text.exact_dedup_keep_first,
         "corpus_stats": text.corpus_stats,

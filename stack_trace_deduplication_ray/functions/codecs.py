@@ -340,3 +340,119 @@ def decode_wav(data: bytes) -> tuple[np.ndarray, int]:
         x = x[: len(x) - len(x) % n_channels]
         x = x.reshape(-1, n_channels).mean(axis=1)
     return x, int(sample_rate)
+
+
+# ------------------------------------------------------------- AVI video
+#
+# Minimal RIFF-AVI container codec for UNCOMPRESSED RGB24 (BI_RGB DIB)
+# frames — the classic `.avi` layout: RIFF('AVI ') -> LIST(hdrl){avih,
+# LIST(strl){strh,strf}} -> LIST(movi){'00db' DIB frames} [-> idx1].
+# DIB frames are bottom-up BGR with rows padded to 4 bytes. Pure
+# struct/numpy; no codec library. Compressed streams (biCompression
+# != 0) raise — the honest gate, like decode_wav's PCM16-only rule.
+
+
+def encode_avi_rgb(frames: "list[np.ndarray]", fps: int = 10) -> bytes:
+    """RGB uint8 frames (h, w, 3), all same size -> AVI bytes."""
+    import struct
+
+    assert frames, "need at least one frame"
+    h, w = frames[0].shape[:2]
+    row_bytes = (w * 3 + 3) & ~3
+    frame_bytes = row_bytes * h
+
+    def chunk(tag: bytes, body: bytes) -> bytes:
+        pad = b"\x00" if len(body) & 1 else b""
+        return tag + struct.pack("<I", len(body)) + body + pad
+
+    def lst(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIIIIIII",
+        1_000_000 // fps,           # us per frame
+        frame_bytes * fps,          # max bytes/sec
+        0, 0x10,                    # padding, flags (AVIF_HASINDEX)
+        len(frames), 0, 1, frame_bytes,
+        w, h, 0, 0, 0, 0,
+    )
+    strh = struct.pack(
+        "<4s4sIHHIIIIIIIIhhhh",
+        b"vids", b"DIB ", 0, 0, 0, 0, 1, fps, 0,
+        len(frames), frame_bytes, 0xFFFFFFFF, 0, 0, 0, w, h,
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, frame_bytes, 0, 0, 0, 0
+    )
+    hdrl = lst(
+        b"hdrl",
+        chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)),
+    )
+    movi_body = b""
+    offsets = []
+    for f in frames:
+        assert f.shape[:2] == (h, w), "all frames must share dimensions"
+        bgr = f[::-1, :, ::-1]  # bottom-up, BGR
+        rows = np.zeros((h, row_bytes), dtype=np.uint8)
+        rows[:, : w * 3] = bgr.reshape(h, w * 3)
+        offsets.append(4 + len(movi_body))  # rel. to 'movi' fourcc
+        movi_body += chunk(b"00db", rows.tobytes())
+    movi = lst(b"movi", movi_body)
+    idx1 = b"".join(
+        struct.pack("<4sIII", b"00db", 0x10, off, frame_bytes)
+        for off in offsets
+    )
+    riff_body = b"AVI " + hdrl + movi + chunk(b"idx1", idx1)
+    return b"RIFF" + struct.pack("<I", len(riff_body)) + riff_body
+
+
+def decode_avi_frames(data: bytes) -> "tuple[list[np.ndarray], int]":
+    """AVI bytes -> (RGB uint8 frames, fps). Uncompressed BI_RGB 24-bit
+    only; anything compressed raises ValueError."""
+    import struct
+
+    if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    w = h = None
+    fps = 0
+    frames: list[np.ndarray] = []
+
+    def walk(buf: bytes):
+        nonlocal w, h, fps
+        pos = 0
+        while pos + 8 <= len(buf):
+            tag = buf[pos : pos + 4]
+            (size,) = struct.unpack("<I", buf[pos + 4 : pos + 8])
+            body = buf[pos + 8 : pos + 8 + size]
+            if tag == b"LIST":
+                walk(body[4:])
+            elif tag == b"strh":
+                # dwScale at byte 20, dwRate at 24 (AVISTREAMHEADER)
+                scale, rate = struct.unpack("<II", body[20:28])
+                fps = rate // max(scale, 1) if scale else 0
+            elif tag == b"strf":
+                (_bisz, bw, bh, _planes, bits, comp) = struct.unpack(
+                    "<IiiHHI", body[:20]
+                )
+                if comp != 0 or bits != 24:
+                    raise ValueError(
+                        "compressed or non-24-bit AVI video stream "
+                        f"(biCompression={comp}, bits={bits}) — codec "
+                        "libraries are not available in this environment"
+                    )
+                w, h = bw, abs(bh)
+            elif tag in (b"00db", b"00dc"):
+                if w is None:
+                    raise ValueError("frame chunk before stream format")
+                row_bytes = (w * 3 + 3) & ~3
+                arr = np.frombuffer(body[: row_bytes * h], dtype=np.uint8)
+                rows = arr.reshape(h, row_bytes)[:, : w * 3]
+                bgr = rows.reshape(h, w, 3)
+                frames.append(bgr[::-1, :, ::-1].copy())  # top-down RGB
+            pos += 8 + size + (size & 1)
+
+    walk(data[12:])
+    if w is None:
+        raise ValueError("missing strf chunk")
+    return frames, int(fps)

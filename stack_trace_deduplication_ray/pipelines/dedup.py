@@ -447,3 +447,32 @@ def image_feature_table(sf_dir: str):
     d = materialize_fixture(_fixture_rows_for_sf(sf_dir), seed=42)
     images = rd.read_parquet(f"{d}/images.parquet")
     return image_features(images).drop_columns(["thumb"])
+
+
+def video_frame_table(sf_dir: str, every_n: int = 5):
+    """Multimodal video frame sampling over the deterministic synthetic
+    AVI fixture: one row per sampled frame (video_id, frame_idx,
+    frame_phash, decode_ok), real uncompressed-RGB24 AVI decode in the
+    actor pool (rows-only check; frame extraction is not
+    SQL-expressible)."""
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.fixtures.videos import (
+        materialize_video_fixture,
+    )
+    from stack_trace_deduplication_ray.stages.joins import resolve_actors
+    from stack_trace_deduplication_ray.stages.multimodal import VideoFrameSampler
+
+    d = materialize_video_fixture(
+        max(20, _fixture_rows_for_sf(sf_dir) // 10), seed=42
+    )
+    videos = rd.read_parquet(f"{d}/videos.parquet")
+    return videos.select_columns(["video_id", "bytes"]).map_batches(
+        VideoFrameSampler,
+        fn_constructor_kwargs={"every_n": every_n},
+        batch_format="pyarrow",
+        batch_size=32,  # payload-heavy rows -> small batches
+        concurrency=(1, resolve_actors(DedupConfig())),
+        num_cpus=1,
+    )

@@ -8,12 +8,13 @@ batches because payloads dominate block size.
 
 - Image decode / thumbnail / feature-extract: REAL (pure-numpy codecs,
   functions/codecs.py).
-- Audio feature extraction and video frame sampling: the decode step is
-  STUBBED (this container ships no audio/video codecs) behind a
-  deterministic fake gated by ``allow_fake``; the Ray-side plumbing —
-  schema, actor signature, batch size, output layout — is real and
-  tested. Swapping in a real libsndfile/ffmpeg decoder changes only
-  ``_decode_audio`` / ``_sample_frames``.
+- Audio: PCM16 WAV decode is REAL (codecs.decode_wav); compressed
+  containers (mp3/ogg/flac) need codec libraries absent here and
+  raise, or — with ``allow_fake`` — derive a deterministic signal so
+  the plumbing stays exercised.
+- Video: uncompressed RGB24 AVI frame decode is REAL
+  (codecs.decode_avi_frames, pure-struct RIFF parsing); compressed
+  codecs raise per payload and the row degrades to decode_ok=False.
 """
 
 from __future__ import annotations
@@ -171,40 +172,40 @@ VIDEO_FRAMES_SCHEMA = pa.schema(
 class VideoFrameSampler:
     """Actor stage: video payloads -> one row per sampled frame.
 
-    Frame decoding is stubbed (no ffmpeg); with ``allow_fake`` the
-    payload is deterministically chunked into pseudo-frames so the
-    one-to-many output layout (flat_map shape) is exercised.
+    Frame decoding is REAL for uncompressed RGB24 AVI containers
+    (pure-struct RIFF parsing, codecs.decode_avi_frames — same posture
+    as the audio side's PCM16 WAV). Compressed codecs raise
+    ValueError per payload and the row is emitted with decode_ok=False
+    instead of poisoning the batch.
     """
 
-    def __init__(self, every_n: int = 10, allow_fake: bool = False):
+    def __init__(self, every_n: int = 10):
         self.every_n = every_n
-        self.allow_fake = allow_fake
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        if not self.allow_fake:
-            raise NotImplementedError(
-                "video frame decoding requires ffmpeg, not present in this "
-                "environment"
-            )
-        ids_out, idx_out, ph_out = [], [], []
+        ids_out, idx_out, ph_out, ok_out = [], [], [], []
         for vid, blob in zip(
             batch.column("video_id").to_pylist(),
             batch.column("bytes").to_pylist(),
         ):
-            raw = np.frombuffer(blob, dtype=np.uint8)
-            frame_size = 256
-            n_frames = max(1, len(raw) // frame_size)
-            for f in range(0, n_frames, self.every_n):
-                chunk = raw[f * frame_size : (f + 1) * frame_size]
-                img = np.resize(chunk, (16, 16)).astype(np.uint8)
-                img3 = np.repeat(img[:, :, None], 3, axis=2)
+            try:
+                frames, _fps = C.decode_avi_frames(blob)
+            except ValueError:
+                ids_out.append(vid)
+                idx_out.append(-1)
+                ph_out.append(0)
+                ok_out.append(False)
+                continue
+            for f in range(0, len(frames), self.every_n):
                 ids_out.append(vid)
                 idx_out.append(f)
-                ph_out.append(C.phash64(img3))
+                ph_out.append(C.phash64(frames[f]))
+                ok_out.append(True)
         return pa.table(
             {
                 "video_id": pa.array(ids_out, type=pa.string()),
                 "frame_idx": pa.array(idx_out, type=pa.int32()),
                 "frame_phash": pa.array(ph_out, type=pa.int64()),
+                "decode_ok": pa.array(ok_out, type=pa.bool_()),
             }
         )

@@ -1,5 +1,6 @@
-"""Multimodal actor stages: real image features; stubbed audio/video
-plumbing (schema, batch shape, one-to-many layout)."""
+"""Multimodal actor stages: real image features, real PCM16-WAV audio,
+real uncompressed-AVI video frame sampling (plus the honest gates for
+codecs this container can't decode)."""
 
 import numpy as np
 import pyarrow as pa
@@ -125,18 +126,75 @@ def test_audio_fake_plumbing(ray_session):
     )
 
 
-def test_video_frame_sampler_one_to_many(ray_session):
+def _avi_clip(seed: int, n_frames: int = 40, size=(16, 16)) -> bytes:
+    from stack_trace_deduplication_ray.functions import codecs as C
+
+    rng = np.random.default_rng(seed)
+    frames = [
+        rng.integers(0, 256, (*size, 3), dtype=np.uint8)
+        for _ in range(n_frames)
+    ]
+    return C.encode_avi_rgb(frames, fps=10)
+
+
+def test_avi_roundtrip_exact():
+    from stack_trace_deduplication_ray.functions import codecs as C
+
+    rng = np.random.default_rng(7)
+    frames = [rng.integers(0, 256, (17, 23, 3), dtype=np.uint8) for _ in range(5)]
+    out, fps = C.decode_avi_frames(C.encode_avi_rgb(frames, fps=24))
+    assert fps == 24 and len(out) == 5
+    for a, b in zip(frames, out):
+        assert np.array_equal(a, b)
+    with pytest.raises(ValueError):
+        C.decode_avi_frames(b"RIFFxxxxNOPE")
+
+
+def test_video_frame_sampler_real_decode(ray_session):
+    """One row per sampled frame, REAL AVI decode: the frame phash must
+    equal the phash of the original frame array."""
     import ray.data as rd
 
+    from stack_trace_deduplication_ray.functions import codecs as C
+
+    rng = np.random.default_rng(11)
+    frames = [
+        rng.integers(0, 256, (16, 16, 3), dtype=np.uint8) for _ in range(40)
+    ]
     ds = rd.from_items(
-        [{"video_id": "v1", "bytes": bytes(range(256)) * 40}]
+        [{"video_id": "v1", "bytes": C.encode_avi_rgb(frames, fps=10)}]
     )
     out = ds.map_batches(
         mm.VideoFrameSampler,
-        fn_constructor_kwargs={"every_n": 10, "allow_fake": True},
+        fn_constructor_kwargs={"every_n": 10},
         batch_format="pyarrow",
         concurrency=(1, 2),
     ).to_pandas()
-    assert len(out) == 4  # 40 pseudo-frames sampled every 10
+    assert len(out) == 4  # 40 frames sampled every 10
     assert out.frame_idx.tolist() == [0, 10, 20, 30]
     assert out.video_id.eq("v1").all()
+    assert out.decode_ok.all()
+    for _, row in out.iterrows():
+        assert row.frame_phash == C.phash64(frames[row.frame_idx])
+
+
+def test_video_frame_sampler_gates_undecodable(ray_session):
+    import ray.data as rd
+
+    ds = rd.from_items(
+        [
+            {"video_id": "good", "bytes": _avi_clip(1, n_frames=12)},
+            {"video_id": "bad", "bytes": b"\x00\x01 not a container"},
+        ]
+    )
+    out = ds.map_batches(
+        mm.VideoFrameSampler,
+        fn_constructor_kwargs={"every_n": 5},
+        batch_format="pyarrow",
+        concurrency=(1, 2),
+    ).to_pandas()
+    good = out[out.video_id == "good"]
+    bad = out[out.video_id == "bad"]
+    assert good.decode_ok.all() and len(good) == 3
+    assert len(bad) == 1 and not bad.decode_ok.iloc[0]
+    assert bad.frame_idx.iloc[0] == -1
