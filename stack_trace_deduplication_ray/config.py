@@ -46,11 +46,26 @@ class DedupConfig:
     # collisions per chunk bucket grow ~ n / 2^(64/chunks) — at 4
     # chunks (16-bit) the space saturates around 10^6-10^7 rows
     # (measured: ~9k salted hot buckets at 1M rows; the salting
-    # machinery absorbs it, but candidate volume grows). Past that,
-    # trade radius for width: 2 chunks (32-bit) with radius 1, or
-    # multi-probe (emit the chunk value plus its 1-bit flips) to keep
-    # a larger effective radius at 32-bit widths.
+    # machinery absorbs it, but candidate volume grows).
+    #
+    # simhash_mode picks the key scheme, auto-sized by corpus size:
+    #   "chunks" — `simhash_chunks` exact chunk keys (4 keys/row,
+    #              16-bit space): cheapest below the saturation knee.
+    #   "combo"  — HmSearch-style combination keys over
+    #              `simhash_combo_sub` sub-chunks taken
+    #              `simhash_combo_r` at a time (20 keys/row at (6,3),
+    #              ~2^32 space): no birthday saturation until ~1e11
+    #              rows. Complete for Hamming <= n_sub - r (= 3).
+    #   "auto"   — resolved per run from the corpus row count against
+    #              `simhash_wide_threshold_rows` (the measured knee).
+    # Both schemes generate a SUPERSET of all radius-<=3 pairs and the
+    # in-bucket Hamming test filters exactly, so the verified edge set
+    # — and the clustering — is identical between modes (tested).
+    simhash_mode: str = "auto"
     simhash_chunks: int = 4
+    simhash_combo_sub: int = 6
+    simhash_combo_r: int = 3
+    simhash_wide_threshold_rows: int = 600_000
     hamming_radius: int = 3
     psnr_threshold_db: float = 40.0  # per input_hint: PSNR>=40dB for lossy
 
@@ -104,6 +119,13 @@ class DedupConfig:
             raise ValueError(
                 "hamming_radius must be < simhash_chunks for chunk probing "
                 "to be a complete candidate generator"
+            )
+        if self.simhash_mode not in ("auto", "chunks", "combo"):
+            raise ValueError(f"unknown simhash_mode {self.simhash_mode!r}")
+        if self.hamming_radius > self.simhash_combo_sub - self.simhash_combo_r:
+            raise ValueError(
+                "combination probing is complete only for hamming_radius "
+                "<= simhash_combo_sub - simhash_combo_r"
             )
 
 

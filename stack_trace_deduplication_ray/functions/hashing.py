@@ -339,3 +339,39 @@ def simhash_from_token_hashes(
     out_bits = (sums > 0).astype(np.uint8)
     packed = np.packbits(out_bits, axis=1, bitorder="little")
     return packed[:, ::-1].copy().view(">u8").astype(U64).reshape(-1)
+
+
+def simhash_combo_keys(
+    simhash: np.ndarray, n_sub: int = 6, r: int = 3
+) -> np.ndarray:
+    """Combination keys over `n_sub` sub-chunks: one key per r-subset
+    -> uint64[n, C(n_sub, r)] (HmSearch-style wide-key probing).
+
+    The 64 bits partition into n_sub sub-chunks (widths differ by at
+    most 1 and cover ALL bits); every r-combination of sub-chunk
+    values hashes — with its combination index — into one bucket key.
+    Pigeonhole: Hamming(x, y) <= n_sub - r implies >= r clean
+    sub-chunks, so x and y share >= 1 combination key EXACTLY. At
+    (6, 3) the key space is ~2^32 per combination (vs 2^16 for the
+    4-chunk scheme), pushing random birthday collisions out to ~1e11
+    rows at 20 keys/row instead of 4.
+    """
+    from itertools import combinations
+
+    simhash = np.asarray(simhash, dtype=U64)
+    base, rem = divmod(64, n_sub)
+    widths = [base + 1] * rem + [base] * (n_sub - rem)
+    subs = []
+    pos = 0
+    for w in widths:
+        mask = U64((1 << w) - 1)
+        subs.append((simhash >> U64(pos)) & mask)
+        pos += w
+    cols = []
+    with np.errstate(**_ERR):
+        for ci, combo in enumerate(combinations(range(n_sub), r)):
+            key = U64(ci + 1) * _SM_GAMMA
+            for c in combo:
+                key = splitmix64(subs[c] ^ key)
+            cols.append(key)
+    return np.stack(cols, axis=1)

@@ -239,6 +239,23 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
     stages = cfg.stages if has_image else tuple(
         s for s in cfg.stages if s != "simhash"
     )
+    if cfg.simhash_mode == "auto" and "simhash" in stages:
+        # auto-size the simhash key scheme by corpus size: exact
+        # 16-bit chunks below the birthday knee, wide combination keys
+        # above it (config.py SCALE NOTE; sigs is materialized so
+        # count() is metadata-cheap). Same verified edges either way.
+        import dataclasses
+
+        n_rows = sigs.count()
+        mode = (
+            "combo" if n_rows > cfg.simhash_wide_threshold_rows else "chunks"
+        )
+        if mode == "combo":
+            logger.info(
+                "simhash auto mode: %d rows > %d -> combination keys",
+                n_rows, cfg.simhash_wide_threshold_rows,
+            )
+        cfg = dataclasses.replace(cfg, simhash_mode=mode)
 
     def checkpointed(name, thunk):
         if ckpt is None:

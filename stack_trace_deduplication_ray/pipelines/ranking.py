@@ -89,81 +89,135 @@ def _df_fit(sf_dir: str) -> tuple[int, dict[int, int]]:
     return n_docs, df_of
 
 
-def _same_source_shared_token_pairs(part_group: pd.DataFrame):
-    """Within one source group: (i, j) index pairs of docs sharing at
-    least one token (full inverted index; the ranked cut bounds the
-    output, and the fixture's group sizes bound the candidates)."""
-    sets = S.token_hash_sets(list(part_group["text"]))
-    tok_l, doc_l = [], []
-    for i, s in enumerate(sets):
-        tok_l.append(s)
-        doc_l.append(np.full(len(s), i, dtype=np.int64))
-    if not tok_l:
-        return np.empty(0, np.int64), np.empty(0, np.int64), sets
-    pt = np.concatenate(tok_l)
-    pdoc = np.concatenate(doc_l)
-    o = np.argsort(pt, kind="stable")
-    pt, pdoc = pt[o], pdoc[o]
-    change = np.nonzero(pt[1:] != pt[:-1])[0] + 1
-    starts = np.concatenate([[0], change])
-    ends = np.concatenate([change, [len(pt)]])
-    ci, cj = [], []
-    for s, e in zip(starts, ends):
-        if e - s < 2:
-            continue
-        g = np.sort(pdoc[s:e])
-        i, j = np.triu_indices(e - s, k=1)
-        ci.append(g[i])
-        cj.append(g[j])
-    if not ci:
-        return np.empty(0, np.int64), np.empty(0, np.int64), sets
-    n = len(sets)
-    key = np.unique(np.concatenate(ci) * n + np.concatenate(cj))
-    return key // n, key % n, sets
-
-
 def _ranked_pairs_query(sf_dir: str, score_fn_builder, k: int):
-    """Shared shape of the ranker queries: DF fit -> broadcast ->
-    per-source candidate pairs -> score -> per-src top-k."""
+    """Shared shape of the ranker queries, de-skewed: DF fit ->
+    broadcast -> TOKEN-keyed candidate-pair exchange -> text
+    attachment (two partitioned joins, pair dedup folded) -> pairwise
+    score -> per-src top-k cut.
+
+    The round-2 shape hash-partitioned by `source`, capping
+    parallelism at the source cardinality (one dominant source = one
+    giant straggler building its whole inverted index in-process).
+    Here the exchange key is hash(source, token): a big source's
+    posting lists spread over the full partition space, the same
+    de-skew as word_jaccard_pairs_distributed. Semantics unchanged —
+    candidates are same-source pairs sharing >= 1 token
+    (DummyRetrievalModel's within-group retrieval,
+    /root/reference/ea/sim/main/methods/retrieval_model.py:50-58),
+    ranked cut per query doc (eval_fast.py:95-96).
+    """
+    from stack_trace_deduplication_ray.stages.joins import join_ds
+
+    cfg = DedupConfig()
     n_docs, df_of = _df_fit(sf_dir)
     fit_ref = ray.put((n_docs, df_of))
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
-    def score_partition(part: pd.DataFrame) -> pd.DataFrame:
-        n_docs_l, df_l = ray.get(fit_ref)
-        score_rows = score_fn_builder(n_docs_l, df_l)
-        src_all, dst_all, sc_all = [], [], []
-        for _, group in part.groupby("source", sort=False):
-            ids = group["doc_id"].to_numpy()
-            ci, cj, _ = _same_source_shared_token_pairs(group)
-            if not len(ci):
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks_list).combine_chunks()
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        th = H.hash_bytes_arrays(flat.to_numpy(zero_copy_only=False))
+        order = np.lexsort((th, doc_idx))
+        sd, sh = doc_idx[order], th[order]
+        first = np.ones(len(sh), dtype=bool)
+        first[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+        keep = order[first]
+        d = doc_idx[keep]
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh_src = H.hash_bytes_arrays(
+            np.asarray(batch.column("source").to_pylist(), dtype=object)
+        )
+        with np.errstate(over="ignore"):
+            tkey = H.splitmix64(th[keep] ^ sh_src[d])
+        return pa.table(
+            {
+                "tkey": pa.array(tkey.view(np.int64)),
+                "doc_id": pa.array(ids[d].astype(np.int64)),
+            }
+        )
+
+    postings = ds.map_batches(explode, batch_format="pyarrow")
+
+    def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        keys = part["tkey"].to_numpy()
+        ids = part["doc_id"].to_numpy()
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate([[0], change]) if len(keys) else np.empty(0, int)
+        ends = np.concatenate([change, [len(keys)]]) if len(keys) else starts
+        src_all, dst_all = [], []
+        for s, e in zip(starts, ends):
+            g = np.sort(ids[s:e])
+            if len(g) < 2:
                 continue
-            sc = score_rows(group, ci, cj)
-            a, b = ids[ci], ids[cj]
-            src_all.append(np.minimum(a, b))
-            dst_all.append(np.maximum(a, b))
-            sc_all.append(np.round(sc, 4))
+            i, j = np.triu_indices(len(g), k=1)
+            src_all.append(g[i])
+            dst_all.append(g[j])
         if not src_all:
             return pd.DataFrame(
-                {"src": pd.Series(dtype="int64"),
-                 "dst": pd.Series(dtype="int64"),
-                 "score": pd.Series(dtype="float64")}
+                {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
             )
-        out = pd.DataFrame(
+        return pd.DataFrame(
             {
                 "src": np.concatenate(src_all).astype(np.int64),
                 "dst": np.concatenate(dst_all).astype(np.int64),
-                "score": np.concatenate(sc_all).astype(np.float64),
             }
         )
-        # ranked cut per query doc: top-k by (rounded score desc, dst)
-        out = out.sort_values(
+
+    pairs = partitioned_groups(postings, "tkey", emit_pairs, cfg)
+
+    def ren(suffix):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "__did" + suffix: batch.column("doc_id").cast(pa.int64()),
+                    "text" + suffix: batch.column("text"),
+                }
+            )
+
+        return fn
+
+    texts = ds.select_columns(["doc_id", "text"])
+    j1 = join_ds(
+        pairs.materialize(),
+        texts.map_batches(ren("_src"), batch_format="pyarrow"),
+        "src", "__did_src", cfg, dedup_left=["src", "dst"],
+    ).materialize()
+    j2 = join_ds(
+        j1, texts.map_batches(ren("_dst"), batch_format="pyarrow"),
+        "dst", "__did_dst", cfg,
+    )
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return PAIR_SCHEMA.empty_table()
+        n_docs_l, df_l = ray.get(fit_ref)
+        score_pairs = score_fn_builder(n_docs_l, df_l)
+        sc = score_pairs(
+            batch.column("text_src").to_pylist(),
+            batch.column("text_dst").to_pylist(),
+        )
+        return pa.table(
+            {
+                "src": batch.column("src").cast(pa.int64()),
+                "dst": batch.column("dst").cast(pa.int64()),
+                "score": pa.array(np.round(sc, 4)),
+            }
+        )
+
+    scored = j2.map_batches(score_batch, batch_format="pyarrow")
+
+    def topk(part: pd.DataFrame) -> pd.DataFrame:
+        out = part.sort_values(
             ["src", "score", "dst"], ascending=[True, False, True],
             kind="stable",
         )
         return out.groupby("src", sort=False).head(k)
 
-    out_ds = partitioned_groups(ds, "source", score_partition, DedupConfig())
+    out_ds = partitioned_groups(scored, "src", topk, cfg)
     return ensure_schema(out_ds, PAIR_SCHEMA)
 
 
@@ -176,15 +230,15 @@ def lerch_pair_scores(sf_dir: str, k: int = 5):
             t: 1.0 + np.log(n_docs / (d + 1.0)) for t, d in df_of.items()
         }
 
-        def score_rows(group, ci, cj):
-            sets = S.token_hash_sets(list(group["text"]))
+        def score_pairs(texts_a, texts_b):
+            sa = S.token_hash_sets(texts_a)
+            sb = S.token_hash_sets(texts_b)
             return np.fromiter(
-                (S.lerch_score(sets[a], sets[b], idf_of)
-                 for a, b in zip(ci, cj)),
-                dtype=np.float64, count=len(ci),
+                (S.lerch_score(a, b, idf_of) for a, b in zip(sa, sb)),
+                dtype=np.float64, count=len(sa),
             )
 
-        return score_rows
+        return score_pairs
 
     return _ranked_pairs_query(sf_dir, builder, k)
 
@@ -200,19 +254,27 @@ def fast_pair_scores(
     Output (src, dst, score rounded 4)."""
 
     def builder(n_docs, df_of):
-        def score_rows(group, ci, cj):
-            views = [
-                S.fast_token_views(t, df_of, n_docs, alpha, beta)
-                for t in group["text"]
-            ]
+        def score_pairs(texts_a, texts_b):
+            # memoize views per distinct text within the batch (a doc
+            # appears in many pairs)
+            cache: dict = {}
+
+            def view(t):
+                v = cache.get(t)
+                if v is None:
+                    v = cache[t] = S.fast_token_views(
+                        t, df_of, n_docs, alpha, beta
+                    )
+                return v
+
             return np.fromiter(
                 (
-                    S.fast_align(*views[a], *views[b], gamma=gamma)
-                    for a, b in zip(ci, cj)
+                    S.fast_align(*view(a), *view(b), gamma=gamma)
+                    for a, b in zip(texts_a, texts_b)
                 ),
-                dtype=np.float64, count=len(ci),
+                dtype=np.float64, count=len(texts_a),
             )
 
-        return score_rows
+        return score_pairs
 
     return _ranked_pairs_query(sf_dir, builder, k)

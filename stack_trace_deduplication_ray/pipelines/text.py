@@ -199,47 +199,180 @@ def word_jaccard_pairs_exact(
 
 def jaccard_pairs_by_source(sf_dir: str, threshold: float = 0.5):
     """Word-set Jaccard >= threshold for doc pairs within one source
-    (the all-with-all within-group enumeration, pair.py:39-57 — but
-    via the EXACT prefix-filtered similarity join, so a large source
-    group no longer goes O(n^2): see word_jaccard_pairs_exact).
+    (the all-with-all within-group enumeration, pair.py:39-57 — as a
+    fully DISTRIBUTED exact prefix-filtered similarity join).
 
     Output (src, dst, jac) with src < dst, jac rounded to 6 places.
     """
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    return word_jaccard_pairs_distributed(ds, threshold, DedupConfig())
+
+
+def word_jaccard_pairs_distributed(ds, threshold: float, cfg: DedupConfig):
+    """Distributed exact AllPairs similarity join, de-skewed.
+
+    The round-2 shape partitioned by `source`, so ONE dominant source
+    became one giant straggler task (its whole inverted index built
+    in-process). This shape's partition keys are (source, token): a
+    big source spreads across the full partition space and no stage
+    ever co-locates a whole source.
+
+        1. explode per-doc distinct tokens -> (tkey, doc_id, n_tok)
+           with tkey = hash(source, token) — one exchange keyed by
+           token computes the per-(source, token) DF (the AllPairs
+           global rarity order must be consistent corpus-wide, not
+           partition-local, for the prefix guarantee to hold);
+        2. regroup by doc_id: sort each doc's tokens by (df, tkey) and
+           keep the prefix of length |d| - ceil(t*|d|) + 1 (pigeonhole:
+           J >= t forces >= ceil(t*|d|) shared tokens, which cannot
+           all avoid the prefix — exact for ANY consistent total
+           order, rarity-first minimizes posting sizes);
+        3. regroup prefix postings by tkey: each token emits its
+           posting list's pairs (frequent tokens sort to the END of
+           docs and rarely enter a prefix — the quadratic posting
+           blowup stays pruned);
+        4. pair dedup folds into the text-attachment join (src, then
+           dst — the verify_fused join shape) and each pair gets the
+           exact word-set Jaccard.
+
+    (src, dst) pairs are within one source by construction (they met
+    in a (source, token) bucket). Exactness vs the n^2 enumeration is
+    tested, including under 80/20 source skew.
+    """
     import pandas as pd
 
-    from stack_trace_deduplication_ray.config import DedupConfig
-    from stack_trace_deduplication_ray.stages.joins import partitioned_groups
+    from stack_trace_deduplication_ray.stages.joins import (
+        join_ds,
+        partitioned_groups,
+    )
 
-    ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
+    def explode(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    def pairs(part: pd.DataFrame) -> pd.DataFrame:
-        src_all, dst_all, jac_all = [], [], []
-        for _, group in part.groupby("source", sort=False):
-            s, d, j = word_jaccard_pairs_exact(
-                group["doc_id"].to_numpy(),
-                list(group["text"]),
-                threshold,
-            )
-            src_all.append(s)
-            dst_all.append(d)
-            jac_all.append(j)
-        return pd.DataFrame(
+        toks_list = pc.split_pattern(batch.column("text"), " ")
+        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
+        flat = pc.list_flatten(toks_list).combine_chunks()
+        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
+        th = H.hash_bytes_arrays(flat.to_numpy(zero_copy_only=False))
+        # per-doc distinct (word SETS)
+        order = np.lexsort((th, doc_idx))
+        sd, sh = doc_idx[order], th[order]
+        first = np.ones(len(sh), dtype=bool)
+        first[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
+        keep = order[first]
+        d = doc_idx[keep]
+        n_tok = np.bincount(d, minlength=len(batch)).astype(np.int64)
+        ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
+        sh_src = H.hash_bytes_arrays(
+            np.asarray(batch.column("source").to_pylist(), dtype=object)
+        )
+        with np.errstate(over="ignore"):
+            tkey = H.splitmix64(th[keep] ^ sh_src[d])
+        return pa.table(
             {
-                "src": pd.Series(
-                    np.concatenate(src_all) if src_all else [], dtype="int64"
-                ),
-                "dst": pd.Series(
-                    np.concatenate(dst_all) if dst_all else [], dtype="int64"
-                ),
-                "jac": pd.Series(
-                    np.concatenate(jac_all) if jac_all else [], dtype="float64"
-                ),
+                "tkey": pa.array(tkey.view(np.int64)),
+                "doc_id": pa.array(ids[d].astype(np.int64)),
+                "n_tok": pa.array(n_tok[d]),
             }
         )
 
-    out_ds = partitioned_groups(ds, "source", pairs, DedupConfig())
+    postings = ds.map_batches(explode, batch_format="pyarrow")
+
+    def with_df(part: pd.DataFrame) -> pd.DataFrame:
+        df = part.groupby("tkey", sort=False)["doc_id"].transform("size")
+        out = part.copy()
+        out["df"] = df.astype(np.int64)
+        return out
+
+    dfed = partitioned_groups(postings, "tkey", with_df, cfg)
+
+    def prefixes(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(["doc_id", "df", "tkey"], kind="stable")
+        pos = g.groupby("doc_id", sort=False).cumcount()
+        n = g["n_tok"].to_numpy()
+        plen = n - np.ceil(threshold * n).astype(np.int64) + 1
+        keep = pos.to_numpy() < plen
+        return g.loc[keep, ["tkey", "doc_id"]]
+
+    prefix_post = partitioned_groups(dfed, "doc_id", prefixes, cfg)
+
+    def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
+        keys = part["tkey"].to_numpy()
+        ids = part["doc_id"].to_numpy()
+        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
+        starts = np.concatenate([[0], change]) if len(keys) else np.empty(0, int)
+        ends = np.concatenate([change, [len(keys)]]) if len(keys) else starts
+        src_all, dst_all = [], []
+        for s, e in zip(starts, ends):
+            g = np.sort(ids[s:e])
+            if len(g) < 2:
+                continue
+            i, j = np.triu_indices(len(g), k=1)
+            src_all.append(g[i])
+            dst_all.append(g[j])
+        if not src_all:
+            return pd.DataFrame(
+                {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
+            )
+        return pd.DataFrame(
+            {
+                "src": np.concatenate(src_all).astype(np.int64),
+                "dst": np.concatenate(dst_all).astype(np.int64),
+            }
+        )
+
+    pairs = partitioned_groups(prefix_post, "tkey", emit_pairs, cfg)
+
+    def ren(suffix):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "__did" + suffix: batch.column("doc_id").cast(pa.int64()),
+                    "text" + suffix: batch.column("text"),
+                }
+            )
+
+        return fn
+
+    texts = ds.select_columns(["doc_id", "text"])
+    j1 = join_ds(
+        pairs.materialize(),
+        texts.map_batches(ren("_src"), batch_format="pyarrow"),
+        "src", "__did_src", cfg, dedup_left=["src", "dst"],
+    ).materialize()
+    j2 = join_ds(
+        j1, texts.map_batches(ren("_dst"), batch_format="pyarrow"),
+        "dst", "__did_dst", cfg,
+    )
+
+    def score(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table(
+                {"src": pa.array([], type=pa.int64()),
+                 "dst": pa.array([], type=pa.int64()),
+                 "jac": pa.array([], type=pa.float64())}
+            )
+        ta = batch.column("text_src").to_pylist()
+        tb = batch.column("text_dst").to_pylist()
+        jac = np.zeros(n, dtype=np.float64)
+        for i in range(n):  # pairs only — small relative to corpus
+            sa = set(ta[i].split(" "))
+            sb = set(tb[i].split(" "))
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            jac[i] = inter / union if union else 1.0
+        keep = jac >= threshold
+        return pa.table(
+            {
+                "src": batch.column("src").cast(pa.int64()).filter(pa.array(keep)),
+                "dst": batch.column("dst").cast(pa.int64()).filter(pa.array(keep)),
+                "jac": pa.array(np.round(jac[keep], 6)),
+            }
+        )
+
     return ensure_schema(
-        out_ds,
+        j2.map_batches(score, batch_format="pyarrow"),
         pa.schema([("src", pa.int64()), ("dst", pa.int64()), ("jac", pa.float64())]),
     )
 

@@ -69,11 +69,21 @@ def expand_minhash(sigs_ds, cfg: DedupConfig):
 
 def expand_simhash(sigs_ds, cfg: DedupConfig):
     """Expansion carries the simhash payload so the bucket emitter can
-    apply the Hamming(<=radius) test in-group (no attachment join)."""
+    apply the Hamming(<=radius) test in-group (no attachment join).
+
+    Key scheme per cfg.simhash_mode: exact chunk keys below the
+    birthday-saturation knee, combination keys (wide space) above it;
+    "auto" is resolved by the caller (pipelines/dedup.build_edges) from
+    the corpus row count and falls back to chunks here."""
 
     def fn(batch: pa.Table) -> pa.Table:
         sh = batch.column("simhash").to_numpy(zero_copy_only=False).view(U64)
-        keys = H.simhash_chunk_keys(sh, cfg.simhash_chunks)
+        if cfg.simhash_mode == "combo":
+            keys = H.simhash_combo_keys(
+                sh, cfg.simhash_combo_sub, cfg.simhash_combo_r
+            )
+        else:
+            keys = H.simhash_chunk_keys(sh, cfg.simhash_chunks)
         n, k = keys.shape
         ids = H.ids_np(batch.column("image_id").combine_chunks())
         return pa.table(

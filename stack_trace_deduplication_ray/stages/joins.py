@@ -129,7 +129,13 @@ def join_ds(
 
     unified = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
-    )
+    # coalesce before the sort exchange: the union carries one block
+    # per upstream map task (100s of tiny blocks at high CPU counts)
+    # and the sort-based groupby schedules per-block map + per-block
+    # reduce tasks — measured 20 s of orchestration for ~3 s of actual
+    # exchange work at 500k rows / 32 CPUs. repartition without
+    # shuffle is a metadata-level coalesce (no all-to-all).
+    ).repartition(P)
 
     out_schema = pa.schema(
         [(c, l_types[c]) for c in lcols] + [(c, r_types[c]) for c in rcols]

@@ -130,3 +130,52 @@ def test_dedup_edges_keeps_one_per_pair(ray_session):
     out = cand.dedup_edges(rd.from_arrow(t)).to_pandas()
     assert len(out) == 2
     assert set(zip(out.src, out.dst)) == {("a", "b"), ("b", "c")}
+
+
+def test_simhash_combo_keys_complete_radius3():
+    """Combination keys (6 sub-chunks choose 3) must guarantee a
+    shared key for EVERY pair within Hamming distance 3 (pigeonhole:
+    d <= n_sub - r). Beyond the radius sharing may or may not happen."""
+    from stack_trace_deduplication_ray.functions import hashing as H
+
+    rng = np.random.default_rng(0)
+    x = rng.integers(0, 2**63, 300, dtype=np.int64).view(np.uint64)
+    for d in range(4):
+        y = x.copy()
+        for i in range(len(y)):
+            for b in rng.choice(64, size=d, replace=False):
+                y[i] ^= np.uint64(1) << np.uint64(b)
+        kx = H.simhash_combo_keys(x)
+        ky = H.simhash_combo_keys(y)
+        assert all(
+            np.intersect1d(kx[i], ky[i]).size > 0 for i in range(len(x))
+        ), f"missed a pair at distance {d}"
+    assert H.simhash_combo_keys(x).shape == (300, 20)
+
+
+def test_simhash_combo_mode_clusters_equal_chunks(ray_session):
+    """combo and chunks key schemes both generate a superset of all
+    radius-3 pairs; the in-bucket Hamming test filters exactly, so the
+    final clustering must be IDENTICAL — and the auto threshold picks
+    combo for large corpora without changing results."""
+    import dataclasses
+
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.fixtures.images import materialize_fixture
+    from stack_trace_deduplication_ray.pipelines.dedup import run_dedup
+
+    d = materialize_fixture(1000, seed=42)
+    images = rd.read_parquet(f"{d}/images.parquet")
+    base = DedupConfig(simhash_mode="chunks")
+    combo = DedupConfig(simhash_mode="combo")
+    auto_wide = dataclasses.replace(
+        DedupConfig(), simhash_wide_threshold_rows=10
+    )  # auto resolves to combo at 1000 rows
+    out = {}
+    for name, cfg in (("chunks", base), ("combo", combo), ("auto", auto_wide)):
+        c = run_dedup(images, cfg)["clusters"].to_pandas()
+        out[name] = c.sort_values("image_id").reset_index(drop=True)
+    assert out["chunks"].equals(out["combo"])
+    assert out["chunks"].equals(out["auto"])

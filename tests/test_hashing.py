@@ -186,3 +186,81 @@ def test_simhash_from_token_hashes():
     # batch-composition independent (segment sums don't leak)
     s2 = sh([a])
     assert s2[0] == s[0]
+
+
+def test_distributed_jaccard_join_deskewed(ray_session):
+    """word_jaccard_pairs_distributed must EQUAL the per-source n^2
+    brute force under 80/20 source skew, AND the dominant source's
+    prefix postings must spread over >1 hash partition (the round-2
+    design put a whole source in ONE task; this shape keys the
+    exchange by (source, token))."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.pipelines.text import (
+        word_jaccard_pairs_distributed,
+    )
+    from stack_trace_deduplication_ray.stages.joins import (
+        _key_partition,
+        resolve_partitions,
+    )
+
+    rng = np.random.default_rng(23)
+    vocab = [f"w{i}" for i in range(30)]
+    n = 200
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(3, 12)))
+        for _ in range(n)
+    ]
+    # 80% of docs in one source, rest spread over 4
+    sources = ["big" if i < int(n * 0.8) else f"s{i % 4}" for i in range(n)]
+    ids = np.arange(n, dtype=np.int64) * 3 + 1
+    ds = rd.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(ids), "text": pa.array(texts),
+             "source": pa.array(sources)}
+        )
+    )
+    thr = 0.5
+    got = (
+        word_jaccard_pairs_distributed(ds, thr, DedupConfig())
+        .to_pandas()
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    exp_rows = []
+    df = pd.DataFrame({"doc_id": ids, "text": texts, "source": sources})
+    for _, g in df.groupby("source"):
+        gi = g["doc_id"].to_numpy()
+        sets = [set(t.split(" ")) for t in g["text"]]
+        for a in range(len(gi)):
+            for b in range(a + 1, len(gi)):
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a]) + len(sets[b]) - inter
+                jac = inter / union if union else 1.0
+                if jac >= thr:
+                    exp_rows.append(
+                        (min(gi[a], gi[b]), max(gi[a], gi[b]), round(jac, 6))
+                    )
+    exp = (
+        pd.DataFrame(exp_rows, columns=["src", "dst", "jac"])
+        .astype({"src": "int64", "dst": "int64"})
+        .sort_values(["src", "dst"])
+        .reset_index(drop=True)
+    )
+    assert len(exp) > 5, "fixture produced too few pairs to be meaningful"
+    pd.testing.assert_frame_equal(got, exp)
+
+    # de-skew evidence: the big source's (source, token) keys land in
+    # more than one hash partition of the pair-emission exchange
+    from stack_trace_deduplication_ray.functions import hashing as H
+
+    big_texts = [t for t, s in zip(texts, sources) if s == "big"]
+    toks = sorted({w for t in big_texts for w in t.split(" ")})
+    th = H.hash_bytes_arrays(np.asarray(toks, dtype=object))
+    sh = H.hash_bytes_arrays(np.asarray(["big"], dtype=object))[0]
+    tkey = H.splitmix64(th ^ sh).view(np.int64)
+    P = resolve_partitions(DedupConfig())
+    assert len(np.unique(_key_partition(tkey, P))) > 1
