@@ -59,6 +59,7 @@ def headline_queries():
         evaluation,
         ranking,
         relational,
+        rerank,
         similarity,
         text,
     )
@@ -71,11 +72,13 @@ def headline_queries():
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
         "top_orders_by_revenue": relational.top_orders_by_revenue,
         "events_daily_user_agg": relational.events_daily_user_agg,
+        "events_replay_attach": relational.events_replay_attach,
         "knn_brute_force": similarity.knn_brute_force,
         "lsh_near_pairs": similarity.lsh_near_pairs,
         "ann_recall": similarity.ann_recall,
         "lerch_pair_scores": ranking.lerch_pair_scores,
         "retrieval_rank_metrics": evaluation.retrieval_rank_metrics,
+        "retrieve_rerank_metrics": rerank.retrieve_rerank_metrics,
     }
 
 
