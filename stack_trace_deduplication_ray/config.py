@@ -94,6 +94,18 @@ class DedupConfig:
     # runtime to the cluster CPU count (bounded below at 8); on a
     # multi-node cluster set explicitly to ~1-2x total cores.
     num_partitions: int = 0
+    # Coalesce the tagged unions feeding sort-based exchanges down to
+    # P blocks (joins.py). At 100k+ rows this is essential: upstream
+    # unions carry one block per map task, and the sort schedules
+    # per-block work that GROWS with CPU count (measured 650 s vs
+    # 110 s at 500k rows / 32 CPUs). At fixture scale the extra
+    # all-to-all barrier per exchange dominates instead (measured
+    # 15.7 s vs 4.3 s on the 5k-doc pipeline). Pipelines that know
+    # their input size call `coalesce_for_rows` to flip this; True is
+    # the safe default for the 100-TB target.
+    coalesce_exchanges: bool = True
+    # Row-count knee for `coalesce_for_rows` (below -> no coalesce).
+    coalesce_min_rows: int = 50_000
     # Actor-pool max size for stateful map stages. 0 = resolve at
     # runtime to (cluster CPUs - 2, min 2).
     actor_concurrency: int = 0
@@ -130,3 +142,18 @@ class DedupConfig:
 
 
 DEFAULT_CONFIG = DedupConfig()
+
+
+def coalesce_for_rows(cfg: DedupConfig, n_rows: int) -> DedupConfig:
+    """Size-gate the exchange coalesce: below `coalesce_min_rows` the
+    extra all-to-all barrier per exchange costs more than the tiny-
+    block orchestration it prevents. Callers that know their input
+    row count (a materialized table's count() is metadata-cheap, a
+    raw parquet read's count() comes from file metadata) thread the
+    result through every join/partitioned-groups call."""
+    import dataclasses
+
+    want = n_rows >= cfg.coalesce_min_rows
+    if cfg.coalesce_exchanges == want:
+        return cfg
+    return dataclasses.replace(cfg, coalesce_exchanges=want)

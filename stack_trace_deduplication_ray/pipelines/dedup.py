@@ -372,6 +372,11 @@ def run_dedup(
         # signatures are re-read by several stages — materialize once
         # (bytes are NOT in this table).
         sigs = sigs.materialize()
+        # corpus size is now metadata-cheap: size-gate the exchange
+        # coalesce for everything downstream (config.coalesce_for_rows)
+        from stack_trace_deduplication_ray.config import coalesce_for_rows
+
+        cfg = coalesce_for_rows(cfg, sigs.count())
         edges, stats = build_edges(images_ds, sigs, cfg, has_image, ckpt=ckpt)
         edges = edges.materialize()
     sch = images_ds.schema()

@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from stack_trace_deduplication_ray.config import DedupConfig
+from stack_trace_deduplication_ray.config import DedupConfig, coalesce_for_rows
 from stack_trace_deduplication_ray.functions import hashing as H
 from stack_trace_deduplication_ray.functions import scoring as S
 from stack_trace_deduplication_ray.pipelines.util import ensure_schema
@@ -89,126 +89,220 @@ def _df_fit(sf_dir: str) -> tuple[int, dict[int, int]]:
     return n_docs, df_of
 
 
-def _ranked_pairs_query(sf_dir: str, score_fn_builder, k: int):
-    """Shared shape of the ranker queries, de-skewed: DF fit ->
-    broadcast -> TOKEN-keyed candidate-pair exchange -> text
-    attachment (two partitioned joins, pair dedup folded) -> pairwise
-    score -> per-src top-k cut.
+from stack_trace_deduplication_ray.stages.candidates import (
+    _group_bounds as _group_bounds_np,
+)
 
-    The round-2 shape hash-partitioned by `source`, capping
-    parallelism at the source cardinality (one dominant source = one
-    giant straggler building its whole inverted index in-process).
-    Here the exchange key is hash(source, token): a big source's
-    posting lists spread over the full partition space, the same
-    de-skew as word_jaccard_pairs_distributed. Semantics unchanged —
-    candidates are same-source pairs sharing >= 1 token
+
+def _source_sizes(ds) -> tuple[np.ndarray, np.ndarray]:
+    """Driver-side per-source doc counts: ONE narrow partial-count
+    pass (each batch contributes #distinct-sources rows; no shuffle).
+    Returns (sorted source hashes uint64, counts int64) — the source
+    cardinality is small relative to the corpus by construction."""
+
+    def counts(batch: pa.Table) -> pa.Table:
+        sh = H.hash_bytes_arrays(
+            np.asarray(batch.column("source").to_pylist(), dtype=object)
+        )
+        u, c = np.unique(sh, return_counts=True)
+        return pa.table(
+            {
+                "sh": pa.array(u.view(np.int64)),
+                "n": pa.array(c.astype(np.int64)),
+            }
+        )
+
+    parts = (
+        ds.select_columns(["source"])
+        .map_batches(counts, batch_format="pyarrow")
+        .to_pandas()
+    )
+    agg = parts.groupby("sh", sort=True)["n"].sum()
+    # keys stay int64 (the exchange bit-cast domain, sorted as int64 —
+    # lookups must searchsorted in the SAME signed order)
+    return (
+        agg.index.to_numpy(dtype=np.int64),
+        agg.to_numpy(dtype=np.int64),
+    )
+
+
+def _ranked_pairs_query(
+    sf_dir: str,
+    score_fn_builder,
+    k: int,
+    chunk_target: int = 2000,
+    max_grid: int = 8,
+):
+    """Shared shape of the ranker queries: DF fit -> broadcast ->
+    GRID-partitioned same-source candidate join -> text attachment
+    (two partitioned joins) -> pairwise score -> per-src top-k cut.
+
+    Candidate semantics: same-source pairs sharing >= 1 token
     (DummyRetrievalModel's within-group retrieval,
     /root/reference/ea/sim/main/methods/retrieval_model.py:50-58),
     ranked cut per query doc (eval_fast.py:95-96).
-    """
-    from stack_trace_deduplication_ray.stages.joins import join_ds
 
-    cfg = DedupConfig()
+    De-skew design (exact theta-join grid): each source's docs hash
+    into C chunks (C = clamp(ceil(n_source/chunk_target), 1, max_grid)
+    from a cheap driver-side source count); every posting row
+    replicates to the C cells {min(c,j), max(c,j)}, and each grid cell
+    builds an in-process token index over its two chunks, emitting
+    within-chunk pairs only on the diagonal cell and cross-chunk pairs
+    only off-diagonal — every qualifying pair is produced by EXACTLY
+    one cell, so there is no per-shared-token pair multiplicity (the
+    round-3 interim token-keyed shape emitted a pair once per shared
+    token: measured 10x slower than this at sf0.1) and no global pair
+    dedup. A dominant source spreads over C(C+1)/2 cells across the
+    full partition space; replication factor is bounded by max_grid.
+    """
     n_docs, df_of = _df_fit(sf_dir)
+    cfg = coalesce_for_rows(DedupConfig(), n_docs)
     fit_ref = ray.put((n_docs, df_of))
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
 
-    def explode(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+    src_keys, src_n = _source_sizes(ds)
+    grid_c = np.clip(
+        np.ceil(src_n / float(chunk_target)).astype(np.int64), 1, max_grid
+    )
+    grid_ref = ray.put((src_keys, grid_c))
 
-        toks_list = pc.split_pattern(batch.column("text"), " ")
-        lens = pc.list_value_length(toks_list).to_numpy(zero_copy_only=False)
-        flat = pc.list_flatten(toks_list).combine_chunks()
-        doc_idx = np.repeat(np.arange(len(batch), dtype=np.int64), lens)
-        th = H.hash_bytes_arrays(flat.to_numpy(zero_copy_only=False))
-        order = np.lexsort((th, doc_idx))
-        sd, sh = doc_idx[order], th[order]
-        first = np.ones(len(sh), dtype=bool)
-        first[1:] = (sh[1:] != sh[:-1]) | (sd[1:] != sd[:-1])
-        keep = order[first]
-        d = doc_idx[keep]
+    def replicate(batch: pa.Table) -> pa.Table:
+        """Each DOC row (id, text) replicated to its C grid cells with
+        a side tag — texts travel the exchange once per cell, never
+        once per pair (scoring happens in-cell)."""
+        s_keys, s_grid = ray.get(grid_ref)
         ids = batch.column("doc_id").to_numpy(zero_copy_only=False)
         sh_src = H.hash_bytes_arrays(
             np.asarray(batch.column("source").to_pylist(), dtype=object)
         )
+        C = s_grid[np.searchsorted(s_keys, sh_src.view(np.int64))]
+        c = (
+            H.hash_ids(ids.astype(np.int64), seed=0xC0FFEE)
+            % C.view(np.uint64)
+        ).astype(np.int64)
+        n_out = int(C.sum())
+        rr = np.repeat(np.arange(len(C), dtype=np.int64), C)
+        j = np.arange(n_out, dtype=np.int64) - np.repeat(np.cumsum(C) - C, C)
+        c_r = c[rr]
+        lo = np.minimum(c_r, j)
+        hi = np.maximum(c_r, j)
         with np.errstate(over="ignore"):
-            tkey = H.splitmix64(th[keep] ^ sh_src[d])
+            cell = H.splitmix64(
+                sh_src[rr]
+                ^ (lo.view(np.uint64) * np.uint64(0x9E3779B97F4A7C15))
+                ^ (hi.view(np.uint64) * np.uint64(0xC2B2AE3D27D4EB4F))
+            )
+        # side: 1 = chunk lo, 2 = chunk hi, 3 = diagonal (lo == hi)
+        side = np.where(lo == hi, 3, np.where(c_r == lo, 1, 2)).astype(np.int8)
+        take = pa.array(rr, type=pa.int64())
         return pa.table(
             {
-                "tkey": pa.array(tkey.view(np.int64)),
-                "doc_id": pa.array(ids[d].astype(np.int64)),
+                "cell": pa.array(cell.view(np.int64)),
+                "doc_id": pa.array(ids[rr].astype(np.int64)),
+                "side": pa.array(side),
+                "text": batch.column("text").take(take),
             }
         )
 
-    postings = ds.map_batches(explode, batch_format="pyarrow")
+    cells_ds = ds.map_batches(replicate, batch_format="pyarrow")
 
-    def emit_pairs(part: pd.DataFrame) -> pd.DataFrame:
-        keys = part["tkey"].to_numpy()
-        ids = part["doc_id"].to_numpy()
-        change = np.nonzero(keys[1:] != keys[:-1])[0] + 1
-        starts = np.concatenate([[0], change]) if len(keys) else np.empty(0, int)
-        ends = np.concatenate([change, [len(keys)]]) if len(keys) else starts
-        src_all, dst_all = [], []
-        for s, e in zip(starts, ends):
-            g = np.sort(ids[s:e])
-            if len(g) < 2:
-                continue
-            i, j = np.triu_indices(len(g), k=1)
-            src_all.append(g[i])
-            dst_all.append(g[j])
-        if not src_all:
-            return pd.DataFrame(
-                {"src": pd.Series(dtype="int64"), "dst": pd.Series(dtype="int64")}
-            )
-        return pd.DataFrame(
+    def score_cell(part: pd.DataFrame) -> pd.DataFrame:
+        """Per grid cell: tokenize once per doc, enumerate pairs
+        sharing >= 1 token (diagonal: within-chunk; off-diagonal:
+        cross-chunk only — exactly-once across the grid), score with
+        the broadcast DF fit, keep a LOCAL per-src top-k. The global
+        top-k is a superset-safe merge of cell top-ks (any pair in the
+        global top-k ranks <= k inside its one producing cell)."""
+        empty = pd.DataFrame(
             {
-                "src": np.concatenate(src_all).astype(np.int64),
-                "dst": np.concatenate(dst_all).astype(np.int64),
+                "src": pd.Series(dtype="int64"),
+                "dst": pd.Series(dtype="int64"),
+                "score": pd.Series(dtype="float64"),
             }
         )
-
-    pairs = partitioned_groups(postings, "tkey", emit_pairs, cfg)
-
-    def ren(suffix):
-        def fn(batch: pa.Table) -> pa.Table:
-            return pa.table(
-                {
-                    "__did" + suffix: batch.column("doc_id").cast(pa.int64()),
-                    "text" + suffix: batch.column("text"),
-                }
-            )
-
-        return fn
-
-    texts = ds.select_columns(["doc_id", "text"])
-    j1 = join_ds(
-        pairs.materialize(),
-        texts.map_batches(ren("_src"), batch_format="pyarrow"),
-        "src", "__did_src", cfg, dedup_left=["src", "dst"],
-    ).materialize()
-    j2 = join_ds(
-        j1, texts.map_batches(ren("_dst"), batch_format="pyarrow"),
-        "dst", "__did_dst", cfg,
-    )
-
-    def score_batch(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return PAIR_SCHEMA.empty_table()
+        if not len(part):
+            return empty
         n_docs_l, df_l = ray.get(fit_ref)
         score_pairs = score_fn_builder(n_docs_l, df_l)
-        sc = score_pairs(
-            batch.column("text_src").to_pylist(),
-            batch.column("text_dst").to_pylist(),
-        )
-        return pa.table(
-            {
-                "src": batch.column("src").cast(pa.int64()),
-                "dst": batch.column("dst").cast(pa.int64()),
-                "score": pa.array(np.round(sc, 4)),
-            }
-        )
+        cells = part["cell"].to_numpy()
+        all_ids = part["doc_id"].to_numpy()
+        all_side = part["side"].to_numpy()
+        all_text = part["text"].to_numpy()
+        frames = []
+        c_starts, c_ends = _group_bounds_np(cells)
+        for cs, ce in zip(c_starts, c_ends):
+            ids = all_ids[cs:ce]
+            side = all_side[cs:ce]
+            texts = all_text[cs:ce]
+            if len(ids) < 2:
+                continue
+            # local postings: (token hash, local doc index)
+            tok_l, idx_l = [], []
+            for li, t in enumerate(texts):
+                h = np.unique(H.hash_bytes_arrays(t.split(" ")))
+                tok_l.append(h)
+                idx_l.append(np.full(len(h), li, dtype=np.int64))
+            toks = np.concatenate(tok_l).view(np.int64)
+            lidx = np.concatenate(idx_l)
+            o = np.lexsort((lidx, toks))
+            toks, lidx = toks[o], lidx[o]
+            ia_c, ib_c = [], []
+            g_starts, g_ends = _group_bounds_np(toks)
+            diag = side[0] == 3  # a cell is all-diagonal or not at all
+            for gs, ge in zip(g_starts, g_ends):
+                g = lidx[gs:ge]
+                if len(g) < 2:
+                    continue
+                if diag:
+                    a, b = np.triu_indices(len(g), k=1)
+                    ia_c.append(g[a])
+                    ib_c.append(g[b])
+                else:
+                    A = g[side[g] == 1]
+                    B = g[side[g] == 2]
+                    if len(A) == 0 or len(B) == 0:
+                        continue
+                    ia_c.append(np.repeat(A, len(B)))
+                    ib_c.append(np.tile(B, len(A)))
+            if not ia_c:
+                continue
+            ia = np.concatenate(ia_c)
+            ib = np.concatenate(ib_c)
+            # canonical (src < dst) on doc id, exact in-cell pair dedup
+            # (a pair recurs across token groups, never across cells)
+            sa, sb = all_ids[cs:ce][ia], all_ids[cs:ce][ib]
+            swap = sa > sb
+            src = np.where(swap, sb, sa)
+            dst = np.where(swap, sa, sb)
+            li_a = np.where(swap, ib, ia)
+            li_b = np.where(swap, ia, ib)
+            o2 = np.lexsort((dst, src))
+            src, dst = src[o2], dst[o2]
+            li_a, li_b = li_a[o2], li_b[o2]
+            first = np.ones(len(src), dtype=bool)
+            first[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+            src, dst = src[first], dst[first]
+            li_a, li_b = li_a[first], li_b[first]
+            sc = score_pairs(
+                [texts[i] for i in li_a], [texts[i] for i in li_b]
+            )
+            df = pd.DataFrame(
+                {
+                    "src": src.astype(np.int64),
+                    "dst": dst.astype(np.int64),
+                    "score": np.round(sc, 4),
+                }
+            )
+            df = df.sort_values(
+                ["src", "score", "dst"], ascending=[True, False, True],
+                kind="stable",
+            )
+            frames.append(df.groupby("src", sort=False).head(k))
+        if not frames:
+            return empty
+        return pd.concat(frames, ignore_index=True)
 
-    scored = j2.map_batches(score_batch, batch_format="pyarrow")
+    scored = partitioned_groups(cells_ds, "cell", score_cell, cfg)
 
     def topk(part: pd.DataFrame) -> pd.DataFrame:
         out = part.sort_values(
@@ -231,11 +325,22 @@ def lerch_pair_scores(sf_dir: str, k: int = 5):
         }
 
         def score_pairs(texts_a, texts_b):
-            sa = S.token_hash_sets(texts_a)
-            sb = S.token_hash_sets(texts_b)
+            # memoize per distinct text: in-cell scoring passes each
+            # doc's text once per pair it participates in
+            cache: dict = {}
+
+            def hs(t):
+                v = cache.get(t)
+                if v is None:
+                    v = cache[t] = S.token_hash_sets([t])[0]
+                return v
+
             return np.fromiter(
-                (S.lerch_score(a, b, idf_of) for a, b in zip(sa, sb)),
-                dtype=np.float64, count=len(sa),
+                (
+                    S.lerch_score(hs(a), hs(b), idf_of)
+                    for a, b in zip(texts_a, texts_b)
+                ),
+                dtype=np.float64, count=len(texts_a),
             )
 
         return score_pairs

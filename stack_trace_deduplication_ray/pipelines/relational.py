@@ -13,6 +13,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
+from stack_trace_deduplication_ray.pipelines.util import sized_cfg
 from stack_trace_deduplication_ray.sources.tables import read_table
 
 
@@ -38,7 +39,7 @@ def events_top_value_per_type(sf_dir: str, k: int = 10):
             ["event_type", "event_id", "value"]
         ]
 
-    return partitioned_groups(ds, "event_type", topk, DedupConfig())
+    return partitioned_groups(ds, "event_type", topk, sized_cfg(sf_dir, "events"))
 
 
 def events_daily_user_agg(sf_dir: str):
@@ -100,7 +101,7 @@ def users_first_event(sf_dir: str):
             }
         )
 
-    return partitioned_groups(ds, "user_id", first, DedupConfig())
+    return partitioned_groups(ds, "user_id", first, sized_cfg(sf_dir, "events"))
 
 
 def lineitem_pricing_summary(sf_dir: str, cutoff: str = "1998-09-02"):
@@ -323,7 +324,7 @@ def events_sessionize(sf_dir: str, gap_minutes: int = 30):
             {"user_id": "int64", "session_id": "int64", "n_events": "int64"}
         )
 
-    return partitioned_groups(ds, "user_id", sessions, DedupConfig())
+    return partitioned_groups(ds, "user_id", sessions, sized_cfg(sf_dir, "events"))
 
 
 def events_prev_same_type(sf_dir: str, forget_minutes: int = 60):
@@ -354,7 +355,7 @@ def events_prev_same_type(sf_dir: str, forget_minutes: int = 60):
             }
         )
 
-    return partitioned_groups(ds, "event_type", links, DedupConfig())
+    return partitioned_groups(ds, "event_type", links, sized_cfg(sf_dir, "events"))
 
 
 def events_replay_attach(sf_dir: str):
@@ -415,7 +416,7 @@ def events_replay_attach(sf_dir: str):
 
     return partitioned_groups(
         keyed.select_columns(["rkey", "event_type", "props", "ts", "event_id"]),
-        "rkey", attach, DedupConfig(),
+        "rkey", attach, sized_cfg(sf_dir, "events"),
     )
 
 

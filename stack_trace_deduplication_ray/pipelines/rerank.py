@@ -40,6 +40,7 @@ import pandas as pd
 import pyarrow as pa
 
 from stack_trace_deduplication_ray.config import DedupConfig
+from stack_trace_deduplication_ray.pipelines.util import sized_cfg
 from stack_trace_deduplication_ray.sources.tables import read_table
 
 
@@ -277,7 +278,7 @@ def retrieve_rerank_metrics(
         config_fingerprint,
     )
 
-    cfg = DedupConfig()
+    cfg = sized_cfg(sf_dir, "embeddings")
     root = run_dir or os.path.join(
         "/tmp/stack_dedup_runs",
         "rerank_" + config_fingerprint(

@@ -22,7 +22,7 @@ import pandas as pd
 import pyarrow as pa
 import ray
 
-from stack_trace_deduplication_ray.pipelines.util import ensure_schema
+from stack_trace_deduplication_ray.pipelines.util import ensure_schema, sized_cfg
 from stack_trace_deduplication_ray.sources.tables import read_table
 
 
@@ -207,7 +207,7 @@ def lsh_near_pairs(
     cached = _LSH_PAIR_CACHE.get(cache_key)
     if cached is not None:
         return cached
-    cfg = DedupConfig()
+    cfg = sized_cfg(sf_dir, "embeddings")
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     first = next(iter(ds.limit(1).iter_batches(batch_size=1, batch_format="pyarrow")))
     dim = len(first.column("embedding")[0])

@@ -18,7 +18,7 @@ import pyarrow as pa
 
 from stack_trace_deduplication_ray.config import DedupConfig
 from stack_trace_deduplication_ray.functions import hashing as H
-from stack_trace_deduplication_ray.pipelines.util import ensure_schema
+from stack_trace_deduplication_ray.pipelines.util import ensure_schema, sized_cfg
 from stack_trace_deduplication_ray.sources.tables import read_table
 
 TEXT_DEDUP_CONFIG = DedupConfig(
@@ -205,7 +205,9 @@ def jaccard_pairs_by_source(sf_dir: str, threshold: float = 0.5):
     Output (src, dst, jac) with src < dst, jac rounded to 6 places.
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
-    return word_jaccard_pairs_distributed(ds, threshold, DedupConfig())
+    return word_jaccard_pairs_distributed(
+        ds, threshold, sized_cfg(sf_dir, "documents")
+    )
 
 
 def word_jaccard_pairs_distributed(ds, threshold: float, cfg: DedupConfig):
@@ -386,6 +388,7 @@ def substring_candidate_pairs(sf_dir: str, cfg: DedupConfig = TEXT_DEDUP_CONFIG)
     from stack_trace_deduplication_ray.stages import verify as ver
     from stack_trace_deduplication_ray.stages.signatures import text_signature_stage
 
+    cfg = sized_cfg(sf_dir, "documents", cfg)
     docs = _docs_as_engine_input(sf_dir)
     sigs = text_signature_stage(docs, cfg).materialize()
     e, _ = cand.pairs_from_buckets(ex.expand_substring(sigs, cfg), "substring", cfg)
@@ -509,7 +512,7 @@ def simhash_text_clusters(sf_dir: str, cfg: DedupConfig | None = None):
     from stack_trace_deduplication_ray.stages import candidates as cand
     from stack_trace_deduplication_ray.stages import cc as cc_mod
 
-    cfg = cfg or DedupConfig()
+    cfg = cfg or sized_cfg(sf_dir, "documents")
     ds = _docs_as_engine_input(sf_dir)
 
     def sig(batch: pa.Table) -> pa.Table:

@@ -2,7 +2,29 @@
 
 from __future__ import annotations
 
+import os
+
 import pyarrow as pa
+
+
+def sized_cfg(sf_dir: str, table: str, cfg=None):
+    """A DedupConfig whose exchange-coalesce flag matches the named
+    table's row count (config.coalesce_for_rows). The count comes from
+    parquet file metadata — no Ray execution. Unknown layouts keep the
+    scale-safe default (coalesce on)."""
+    from stack_trace_deduplication_ray.config import (
+        DedupConfig,
+        coalesce_for_rows,
+    )
+
+    cfg = cfg or DedupConfig()
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        import pyarrow.parquet as pq
+
+        return coalesce_for_rows(cfg, pq.read_metadata(path).num_rows)
+    except Exception:
+        return cfg
 
 
 def ensure_schema(ds, schema: pa.Schema):

@@ -129,13 +129,16 @@ def join_ds(
 
     unified = left.map_batches(tag_left, batch_format="pyarrow").union(
         right.map_batches(tag_right, batch_format="pyarrow")
+    )
     # coalesce before the sort exchange: the union carries one block
     # per upstream map task (100s of tiny blocks at high CPU counts)
     # and the sort-based groupby schedules per-block map + per-block
     # reduce tasks — measured 20 s of orchestration for ~3 s of actual
-    # exchange work at 500k rows / 32 CPUs. repartition without
-    # shuffle is a metadata-level coalesce (no all-to-all).
-    ).repartition(P)
+    # exchange work at 500k rows / 32 CPUs (650 s total without it).
+    # Size-gated (config.coalesce_for_rows): at fixture scale the
+    # extra barrier per exchange costs more than it saves.
+    if cfg.coalesce_exchanges:
+        unified = unified.repartition(P)
 
     out_schema = pa.schema(
         [(c, l_types[c]) for c in lcols] + [(c, r_types[c]) for c in rcols]
@@ -249,14 +252,12 @@ def partitioned_groups(ds, key_col: str, partition_fn, cfg: DedupConfig):
                 tbl = pa.table(dict(zip(tbl.schema.names, cols)))
         return tbl
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        # coalesce: upstream unions can carry hundreds of tiny blocks
-        # and the sort pays a fixed cost per block
-        .repartition(P)
-        .groupby("__p")
-        .map_groups(run, batch_format="pandas")
-    )
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    # coalesce: upstream unions can carry hundreds of tiny blocks and
+    # the sort pays a fixed cost per block (size-gated, see join_ds)
+    if cfg.coalesce_exchanges:
+        tagged = tagged.repartition(P)
+    return tagged.groupby("__p").map_groups(run, batch_format="pandas")
 
 
 def partitioned_groups_arrow(ds, key_col: str, partition_fn, cfg: DedupConfig):
@@ -274,9 +275,7 @@ def partitioned_groups_arrow(ds, key_col: str, partition_fn, cfg: DedupConfig):
         part = part.drop_columns(["__p"]).sort_by(key_col)
         return partition_fn(part)
 
-    return (
-        ds.map_batches(tag, batch_format="pyarrow")
-        .repartition(P)
-        .groupby("__p")
-        .map_groups(run, batch_format="pyarrow")
-    )
+    tagged = ds.map_batches(tag, batch_format="pyarrow")
+    if cfg.coalesce_exchanges:
+        tagged = tagged.repartition(P)
+    return tagged.groupby("__p").map_groups(run, batch_format="pyarrow")
