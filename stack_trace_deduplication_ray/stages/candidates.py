@@ -87,16 +87,24 @@ def _edges_table(src, dst, stage, id_type: pa.DataType | None = None) -> pa.Tabl
     """Canonical edges Arrow table (explicit types even when empty —
     empty pandas object columns would degrade to Arrow null type and
     poison downstream schema unification). `stage` is one label for
-    all rows or a per-row array; `id_type` pins the src/dst type
-    (inferred from `src` when omitted; empty-and-unknown -> string)."""
+    all rows or a per-row array; int stage values produce an int8
+    column (the fused path's exchange code, decoded to the public
+    string label by `decode_stage_codes` at the boundary); `id_type`
+    pins the src/dst type (inferred from `src` when omitted;
+    empty-and-unknown -> string)."""
     n = len(src)
     if id_type is None:
         id_type = _id_pa_type(src) if n else pa.string()
-    stage_arr = (
-        pa.array([stage] * n, type=pa.string())
-        if isinstance(stage, str)
-        else pa.array(list(stage), type=pa.string())
-    )
+    if isinstance(stage, (int, np.integer)):
+        stage_arr = pa.array(np.full(n, stage, dtype=np.int8))
+    elif isinstance(stage, str):
+        stage_arr = pa.array([stage] * n, type=pa.string())
+    else:
+        st = np.asarray(stage)
+        if st.dtype.kind in "iu":
+            stage_arr = pa.array(st.astype(np.int8))
+        else:
+            stage_arr = pa.array(list(stage), type=pa.string())
     if pa.types.is_integer(id_type):
         src_arr = pa.array(np.asarray(src, dtype=np.int64), type=id_type)
         dst_arr = pa.array(np.asarray(dst, dtype=np.int64), type=id_type)
@@ -111,6 +119,24 @@ def _edges_table(src, dst, stage, id_type: pa.DataType | None = None) -> pa.Tabl
             "score": pa.array(np.zeros(n), type=pa.float64()),
         }
     )
+
+
+def decode_stage_codes(edges, names: list[str]):
+    """Map the int8 `stage` exchange codes back to the public string
+    labels (one cheap map pass over the small edge table; the heavy
+    exchanges upstream moved 1-byte codes instead of ~11-byte
+    strings)."""
+    lookup = np.asarray(names, dtype=object)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        codes = batch.column("stage").to_numpy(zero_copy_only=False)
+        return batch.set_column(
+            batch.schema.get_field_index("stage"),
+            "stage",
+            pa.array(lookup[codes.astype(np.int64)], type=pa.string()),
+        )
+
+    return edges.map_batches(fn, batch_format="pyarrow")
 
 
 def _group_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -360,9 +386,14 @@ def _bridge_hot(salted, stage: str | None, cfg: DedupConfig):
             src_all.append(g[:-1])
             dst_all.append(g[1:])
             if st is not None:
-                st_all.append(np.full(e - s - 1, st[s], dtype=object))
+                # int8 exchange codes in the fused path
+                st_all.append(np.full(e - s - 1, st[s], dtype=st.dtype))
         if not src_all:
-            return _edges_table([], [], stage or "", idt)
+            return _edges_table(
+                [], [],
+                np.empty(0, np.int8) if stage is None else stage,
+                idt,
+            )
         return _edges_table(
             np.concatenate(src_all),
             np.concatenate(dst_all),
@@ -498,8 +529,13 @@ def fused_pairs_from_buckets(
     Returns (edges with per-row stage labels, stats).
     """
 
+    stage_names = [st for _, _, st in expansions]
+    code_of = {st: i for i, st in enumerate(stage_names)}
+    ham_code = code_of.get("simhash", -1)
+
     def tag(stage: str, has_simhash: bool):
         seed = _stage_seed(stage)
+        code = code_of[stage]
 
         def fn(batch: pa.Table) -> pa.Table:
             b = batch.column("bucket").to_numpy(zero_copy_only=False)
@@ -513,7 +549,10 @@ def fused_pairs_from_buckets(
                         if has_simhash
                         else pa.array(np.zeros(n, dtype=np.int64))
                     ),
-                    "stage": pa.array([stage] * n, type=pa.string()),
+                    # 1-byte exchange code, not the ~11-byte label:
+                    # the candidate shuffle is the largest exchange in
+                    # the flagship (decode_stage_codes at the boundary)
+                    "stage": pa.array(np.full(n, code, dtype=np.int8)),
                 }
             )
 
@@ -575,7 +614,7 @@ def fused_pairs_from_buckets(
             if n < 2:
                 continue
             g_stage = st[s]
-            if g_stage == "simhash":
+            if g_stage == ham_code:
                 order = np.lexsort((ids[s:e], sh[s:e]))
                 g_ids = ids[s:e][order]
                 g_sh = sh[s:e][order]
@@ -600,9 +639,9 @@ def fused_pairs_from_buckets(
                     src, dst = g[i], g[j]
             src_all.append(src)
             dst_all.append(dst)
-            st_all.append(np.full(len(src), g_stage, dtype=object))
+            st_all.append(np.full(len(src), g_stage, dtype=np.int8))
         if not src_all:
-            return _edges_table([], [], "", idt)
+            return _edges_table([], [], np.empty(0, np.int8), idt)
         return _edges_table(
             np.concatenate(src_all),
             np.concatenate(dst_all),
@@ -616,7 +655,7 @@ def fused_pairs_from_buckets(
     )
     if hot:
         edges = edges.union(_bridge_hot(salted, None, cfg))
-    return edges, stats
+    return decode_stage_codes(edges, stage_names), stats
 
 
 def collapse_dual(sigs, axes, cfg: DedupConfig):
@@ -643,15 +682,21 @@ def collapse_dual(sigs, axes, cfg: DedupConfig):
     sch = sigs.schema()
     col_types = dict(zip(sch.names, sch.types))
 
+    axis_names = [a[1] for a in axes]
+    axis_code = {nm: i for i, nm in enumerate(axis_names)}
+
     def tagger(key_col: str, stage_name: str, rep_cols: list[str]):
         seed = _stage_seed(stage_name)
+        code = axis_code[stage_name]
 
         def fn(batch: pa.Table) -> pa.Table:
             n = len(batch)
             k = batch.column(key_col).to_numpy(zero_copy_only=False)
             cols = {
                 "key": pa.array(_mix_keys(k, seed)),
-                "stage": pa.array([stage_name] * n, type=pa.string()),
+                # int8 axis code through the exchange (decoded to the
+                # public label in the edges pass below)
+                "stage": pa.array(np.full(n, code, dtype=np.int8)),
                 "image_id": batch.column("image_id"),
             }
             for c in all_rep_cols:
@@ -684,16 +729,21 @@ def collapse_dual(sigs, axes, cfg: DedupConfig):
 
     annotated = partitioned_groups_arrow(tagged, "key", annotate, cfg).materialize()
 
+    lookup = np.asarray(axis_names, dtype=object)
+
     def edges(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
         keep = pc.not_equal(batch.column("image_id"), batch.column("rep"))
         t = batch.filter(keep)
+        codes = t.column("stage").to_numpy(zero_copy_only=False)
         return pa.table(
             {
                 "src": t.column("rep"),
                 "dst": t.column("image_id"),
-                "stage": t.column("stage"),
+                "stage": pa.array(
+                    lookup[codes.astype(np.int64)], type=pa.string()
+                ),
                 "score": pa.array(np.ones(len(t)), type=pa.float64()),
             }
         )
@@ -703,7 +753,10 @@ def collapse_dual(sigs, axes, cfg: DedupConfig):
             import pyarrow.compute as pc
 
             keep = pc.and_(
-                pc.equal(batch.column("stage"), pa.scalar(stage_name)),
+                pc.equal(
+                    batch.column("stage"),
+                    pa.scalar(axis_code[stage_name], type=pa.int8()),
+                ),
                 pc.equal(batch.column("image_id"), batch.column("rep")),
             )
             t = batch.filter(keep)
