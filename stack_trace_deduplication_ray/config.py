@@ -106,6 +106,14 @@ class DedupConfig:
     coalesce_exchanges: bool = True
     # Row-count knee for `coalesce_for_rows` (below -> no coalesce).
     coalesce_min_rows: int = 50_000
+    # Block-count knee for `coalesce_for_table`: when the exchange
+    # inputs are known to carry at least this many blocks, coalesce
+    # regardless of row count. Block count — not row count — is what
+    # the sort-based groupby actually pays per-block orchestration
+    # for (measured at 8k rows / 22 sig blocks: 21 s coalesced vs
+    # 26 s gated-off on the image flagship, while the 3-block doc
+    # pipeline at 5k rows runs 4-8 s gated-off vs 10-11 s coalesced).
+    coalesce_min_blocks: int = 8
     # Actor-pool max size for stateful map stages. 0 = resolve at
     # runtime to (cluster CPUs - 2, min 2).
     actor_concurrency: int = 0
@@ -154,6 +162,23 @@ def coalesce_for_rows(cfg: DedupConfig, n_rows: int) -> DedupConfig:
     import dataclasses
 
     want = n_rows >= cfg.coalesce_min_rows
+    if cfg.coalesce_exchanges == want:
+        return cfg
+    return dataclasses.replace(cfg, coalesce_exchanges=want)
+
+
+def coalesce_for_table(cfg: DedupConfig, n_rows: int, n_blocks: int) -> DedupConfig:
+    """Block-count-aware variant of `coalesce_for_rows` for callers
+    holding a MATERIALIZED table (num_blocks() is metadata-free).
+
+    The sort-based groupby's fixed cost is per input BLOCK, so a small
+    table fanned out over many map tasks (e.g. the image signature
+    actor pool) still wants the pre-exchange coalesce, while a small
+    few-block table does not — row count alone mis-gates both (see
+    coalesce_min_blocks)."""
+    import dataclasses
+
+    want = n_rows >= cfg.coalesce_min_rows or n_blocks >= cfg.coalesce_min_blocks
     if cfg.coalesce_exchanges == want:
         return cfg
     return dataclasses.replace(cfg, coalesce_exchanges=want)

@@ -372,11 +372,14 @@ def run_dedup(
         # signatures are re-read by several stages — materialize once
         # (bytes are NOT in this table).
         sigs = sigs.materialize()
-        # corpus size is now metadata-cheap: size-gate the exchange
-        # coalesce for everything downstream (config.coalesce_for_rows)
-        from stack_trace_deduplication_ray.config import coalesce_for_rows
+        # corpus size AND block count are now metadata-cheap: gate the
+        # exchange coalesce for everything downstream on both (the
+        # signature actor pool fans small corpora out over many blocks
+        # and every downstream exchange pays per-block —
+        # config.coalesce_for_table)
+        from stack_trace_deduplication_ray.config import coalesce_for_table
 
-        cfg = coalesce_for_rows(cfg, sigs.count())
+        cfg = coalesce_for_table(cfg, sigs.count(), sigs.num_blocks())
         edges, stats = build_edges(images_ds, sigs, cfg, has_image, ckpt=ckpt)
         edges = edges.materialize()
     sch = images_ds.schema()

@@ -278,7 +278,16 @@ def retrieve_rerank_metrics(
         config_fingerprint,
     )
 
-    cfg = sized_cfg(sf_dir, "embeddings")
+    # Exchange coalescing stays ON regardless of corpus size: every
+    # intermediate here (bucket pairs, top-N candidates, join unions)
+    # is a P-block table feeding the next exchange, so the per-block
+    # sort cost dominates even at 2k vectors (measured ~32 s gated-off
+    # vs ~21 s coalesced at sf0.1).
+    import dataclasses
+
+    cfg = dataclasses.replace(
+        sized_cfg(sf_dir, "embeddings"), coalesce_exchanges=True
+    )
     root = run_dir or os.path.join(
         "/tmp/stack_dedup_runs",
         "rerank_" + config_fingerprint(
