@@ -117,6 +117,14 @@ class DedupConfig:
     # Actor-pool max size for stateful map stages. 0 = resolve at
     # runtime to (cluster CPUs - 2, min 2).
     actor_concurrency: int = 0
+    # Broadcast-join gate (joins.broadcast_attach): a join whose right
+    # side is known to be at most this many rows is executed as a
+    # driver-built broadcast lookup (`ray.put` once, vectorized
+    # searchsorted attach inside map_batches — ZERO exchanges) instead
+    # of a partitioned hash join. Above the gate the partitioned join
+    # runs unchanged — the at-scale path. Callers with wide payload
+    # columns (embeddings, thumbnails) pass a tighter max_rows.
+    broadcast_join_max_rows: int = 1_000_000
 
     # --- connected components ----------------------------------------
     # Below this many edges the components are solved driver-side with

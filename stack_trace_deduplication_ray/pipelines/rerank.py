@@ -127,9 +127,17 @@ def _rerank_predictions(candidates, sf_dir: str, cfg: DedupConfig, out_dir: str,
     """Stage 3: exact-cosine re-score of the cached candidates, then
     the ranked prediction sink. Returns the written-predictions path."""
     from stack_trace_deduplication_ray.sources.sinks import write_ranked_predictions
-    from stack_trace_deduplication_ray.stages.joins import join_ds
+    from stack_trace_deduplication_ray.stages.joins import (
+        broadcast_attach,
+        join_ds,
+        should_broadcast,
+    )
 
     emb = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    # parquet-metadata count gates the broadcast path; embeddings are
+    # WIDE rows, so the gate is tightened 8x (~64 MB at 128-dim f32)
+    n_emb = emb.count()
+    emb_gate = max(1, cfg.broadcast_join_max_rows // 8)
 
     def ren(suffix):
         def fn(batch: pa.Table) -> pa.Table:
@@ -142,17 +150,31 @@ def _rerank_predictions(candidates, sf_dir: str, cfg: DedupConfig, out_dir: str,
 
         return fn
 
-    j1 = join_ds(
-        candidates,
-        emb.map_batches(ren("_q"), batch_format="pyarrow"),
-        "query_id", "__vid_q", cfg,
-        dedup_left=["query_id", "candidate_id"],
-    ).materialize()
-    j2 = join_ds(
-        j1,
-        emb.map_batches(ren("_c"), batch_format="pyarrow"),
-        "candidate_id", "__vid_c", cfg,
-    )
+    if should_broadcast(cfg, n_emb, emb_gate):
+        # zero-exchange attach for both pair sides; candidates are
+        # structurally unique on (query_id, candidate_id) — the top-N
+        # cut partitions by query — so the defensive dedup the
+        # partitioned path folds into its first join is not needed
+        j1 = broadcast_attach(
+            candidates, emb.map_batches(ren("_q"), batch_format="pyarrow"),
+            "query_id", "__vid_q", cfg, right_rows=n_emb, max_rows=emb_gate,
+        )
+        j2 = broadcast_attach(
+            j1, emb.map_batches(ren("_c"), batch_format="pyarrow"),
+            "candidate_id", "__vid_c", cfg, right_rows=n_emb, max_rows=emb_gate,
+        )
+    else:
+        j1 = join_ds(
+            candidates,
+            emb.map_batches(ren("_q"), batch_format="pyarrow"),
+            "query_id", "__vid_q", cfg,
+            dedup_left=["query_id", "candidate_id"],
+        ).materialize()
+        j2 = join_ds(
+            j1,
+            emb.map_batches(ren("_c"), batch_format="pyarrow"),
+            "candidate_id", "__vid_c", cfg,
+        )
 
     def score(batch: pa.Table) -> pa.Table:
         if len(batch) == 0:
@@ -198,12 +220,15 @@ def _rank_metrics(pred_dir: str, sf_dir: str, cfg: DedupConfig, k: int) -> pa.Ta
     import ray.data as rd
 
     from stack_trace_deduplication_ray.stages.joins import (
-        join_ds,
+        broadcast_attach,
         partitioned_groups,
     )
 
     preds = rd.read_parquet(pred_dir)
     labels = read_table(sf_dir, "embeddings", columns=["vec_id", "label"])
+    # labels are 16 B/row: broadcastable up to the default gate, with
+    # the partitioned join as the above-gate fallback
+    n_lab = labels.count()
 
     def lab(name_id, name_lab):
         def fn(batch: pa.Table) -> pa.Table:
@@ -216,13 +241,13 @@ def _rank_metrics(pred_dir: str, sf_dir: str, cfg: DedupConfig, k: int) -> pa.Ta
 
         return fn
 
-    j1 = join_ds(
+    j1 = broadcast_attach(
         preds, labels.map_batches(lab("__qid", "q_label"), batch_format="pyarrow"),
-        "query_id", "__qid", cfg,
+        "query_id", "__qid", cfg, right_rows=n_lab,
     )
-    j2 = join_ds(
+    j2 = broadcast_attach(
         j1, labels.map_batches(lab("__cid", "c_label"), batch_format="pyarrow"),
-        "candidate_id", "__cid", cfg,
+        "candidate_id", "__cid", cfg, right_rows=n_lab,
     )
 
     def ranks(part: pd.DataFrame) -> pd.DataFrame:

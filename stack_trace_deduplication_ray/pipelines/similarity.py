@@ -211,8 +211,8 @@ def lsh_near_pairs(
     ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
     first = next(iter(ds.limit(1).iter_batches(batch_size=1, batch_format="pyarrow")))
     dim = len(first.column("embedding")[0])
+    n_vec = ds.count()  # parquet-metadata count (gates n_bits + broadcast)
     if n_bits is None:
-        n_vec = ds.count()
         n_bits = max(4, int(np.ceil(np.log2(max(2, n_vec / 64)))))
 
     buckets = ds.map_batches(
@@ -289,11 +289,29 @@ def lsh_near_pairs(
     # one graph than staged (50 s vs 14 s at 2k vectors x 16 tables);
     # the pair table is narrow, so the boundary is cheap
     pairs_s = pairs.materialize()
+    # the FIRST join stays partitioned even under the broadcast gate:
+    # its fold-in dedup on (src, dst) is REAL here (the same pair is
+    # emitted by every LSH table whose buckets collide) and a global
+    # dedup needs a pair-keyed exchange anyway. The SECOND attach has
+    # no such constraint -> broadcast when the corpus is under the
+    # (width-tightened) gate, dropping one exchange + its boundary.
+    from stack_trace_deduplication_ray.stages.joins import (
+        broadcast_attach,
+        should_broadcast,
+    )
+
+    emb_gate = max(1, cfg.broadcast_join_max_rows // 8)
     j1 = join_ds(
         pairs_s, emb_src, "src", "__vid_src", cfg,
         dedup_left=["src", "dst"],
-    ).materialize()
-    j2 = join_ds(j1, emb_dst, "dst", "__vid_dst", cfg)
+    )
+    if should_broadcast(cfg, n_vec, emb_gate):
+        j2 = broadcast_attach(
+            j1, emb_dst, "dst", "__vid_dst", cfg,
+            right_rows=n_vec, max_rows=emb_gate,
+        )
+    else:
+        j2 = join_ds(j1.materialize(), emb_dst, "dst", "__vid_dst", cfg)
 
     def score(batch: pa.Table) -> pa.Table:
         n = len(batch)

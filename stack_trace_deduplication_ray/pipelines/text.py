@@ -206,11 +206,13 @@ def jaccard_pairs_by_source(sf_dir: str, threshold: float = 0.5):
     """
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text", "source"])
     return word_jaccard_pairs_distributed(
-        ds, threshold, sized_cfg(sf_dir, "documents")
+        ds, threshold, sized_cfg(sf_dir, "documents"), n_docs=ds.count()
     )
 
 
-def word_jaccard_pairs_distributed(ds, threshold: float, cfg: DedupConfig):
+def word_jaccard_pairs_distributed(
+    ds, threshold: float, cfg: DedupConfig, n_docs: int | None = None
+):
     """Distributed exact AllPairs similarity join, de-skewed.
 
     The round-2 shape partitioned by `source`, so ONE dominant source
@@ -337,15 +339,32 @@ def word_jaccard_pairs_distributed(ds, threshold: float, cfg: DedupConfig):
         return fn
 
     texts = ds.select_columns(["doc_id", "text"])
+    # first join stays partitioned (its fold-in pair dedup is global
+    # only under pair-keyed partitioning); the second attach
+    # broadcasts when the caller-known doc count is under the
+    # (text-width-tightened) gate — one exchange + boundary saved
+    from stack_trace_deduplication_ray.stages.joins import (
+        broadcast_attach,
+        should_broadcast,
+    )
+
+    text_gate = max(1, cfg.broadcast_join_max_rows // 4)
     j1 = join_ds(
         pairs.materialize(),
         texts.map_batches(ren("_src"), batch_format="pyarrow"),
         "src", "__did_src", cfg, dedup_left=["src", "dst"],
-    ).materialize()
-    j2 = join_ds(
-        j1, texts.map_batches(ren("_dst"), batch_format="pyarrow"),
-        "dst", "__did_dst", cfg,
     )
+    if should_broadcast(cfg, n_docs, text_gate):
+        j2 = broadcast_attach(
+            j1, texts.map_batches(ren("_dst"), batch_format="pyarrow"),
+            "dst", "__did_dst", cfg, right_rows=n_docs, max_rows=text_gate,
+        )
+    else:
+        j2 = join_ds(
+            j1.materialize(),
+            texts.map_batches(ren("_dst"), batch_format="pyarrow"),
+            "dst", "__did_dst", cfg,
+        )
 
     def score(batch: pa.Table) -> pa.Table:
         n = len(batch)

@@ -217,6 +217,119 @@ def join_ds(
     return unified.groupby("__p").map_groups(merge, batch_format="pyarrow")
 
 
+def should_broadcast(cfg: DedupConfig, right_rows: int | None, max_rows: int | None = None) -> bool:
+    """Gate for `broadcast_attach`: the caller supplies the right
+    side's row count when it is KNOWN cheaply (parquet metadata on the
+    base read, or a materialized table's count()); `None` means
+    unknown -> never broadcast (counting a lazy lineage would cost an
+    extra execution, defeating the point)."""
+    if right_rows is None:
+        return False
+    return right_rows <= (max_rows if max_rows is not None else cfg.broadcast_join_max_rows)
+
+
+def broadcast_attach(
+    left,
+    right,
+    on: str,
+    right_on: str,
+    cfg: DedupConfig,
+    join_type: str = "inner",
+    right_rows: int | None = None,
+    max_rows: int | None = None,
+    dedup_left: list[str] | None = None,
+):
+    """Size-gated broadcast equi-join: same output contract as
+    `join_ds` (left columns + right columns minus `right_on`), but the
+    small right side is pulled once, sorted by key, `ray.put` into the
+    object store, and every left batch attaches via vectorized
+    searchsorted + Arrow take — ZERO exchanges, no union, no sort.
+
+    This is the 100-TB "broadcast small sides" pattern: a lookup table
+    of up to ~1M narrow rows costs one shared object-store entry read
+    zero-copy by every task, where the partitioned join would move the
+    (often much larger) left side through an all-to-all. Above the
+    gate (`should_broadcast`) it falls back to `join_ds` unchanged.
+
+    `dedup_left` applies only on the fallback path (a broadcast map
+    cannot dedup globally); callers must only pass it when the left
+    side is structurally duplicate-free under broadcast.
+    """
+    assert join_type in ("inner", "left_outer"), join_type
+    if not should_broadcast(cfg, right_rows, max_rows):
+        return join_ds(
+            left, right, on, right_on, cfg,
+            join_type=join_type, dedup_left=dedup_left,
+        )
+    import ray
+
+    rbatches = list(right.iter_batches(batch_size=None, batch_format="pyarrow"))
+    if rbatches:
+        rt = pa.concat_tables(rbatches, promote_options="default").combine_chunks()
+    else:
+        rsch = right.schema()
+        rt = pa.schema(list(zip(rsch.names, rsch.types))).empty_table()
+    rcols = [n for n in rt.schema.names if n != right_on]
+    lcols = list(left.schema().names)
+    overlap = set(lcols) & set(rcols)
+    assert not overlap, f"join column collision: {overlap} (pre-rename the right side)"
+    r_types = {n: rt.schema.field(n).type for n in rcols}
+    rkeys = H.ids_np(rt.column(right_on).combine_chunks())
+    order = np.argsort(rkeys, kind="stable")
+    rsorted = rkeys[order]
+    unique_right = len(rsorted) < 2 or not (rsorted[1:] == rsorted[:-1]).any()
+    rdata = rt.select(rcols).take(pa.array(order, type=pa.int64()))
+    if not unique_right:
+        # duplicate right keys: per-batch pandas merge against the
+        # broadcast frame (still zero exchanges)
+        rdf = rdata.to_pandas()
+        rdf["__key"] = rsorted
+        ref = ray.put(rdf)
+
+        def attach_dup(batch: pa.Table) -> pa.Table:
+            import pandas as pd  # noqa: F401
+
+            r = ray.get(ref)
+            ldf = batch.to_pandas()
+            ldf["__key"] = H.ids_np(batch.column(on).combine_chunks())
+            how = "inner" if join_type == "inner" else "left"
+            m = ldf.merge(r, on="__key", how=how)
+            return pa.Table.from_pandas(
+                m[lcols + rcols], preserve_index=False
+            )
+
+        return left.map_batches(attach_dup, batch_format="pyarrow")
+
+    ref = ray.put((rsorted, rdata))
+
+    def attach(batch: pa.Table) -> pa.Table:
+        keys_arr, rd = ray.get(ref)
+        lkeys = H.ids_np(batch.column(on).combine_chunks())
+        pos = np.searchsorted(keys_arr, lkeys)
+        pos_c = np.minimum(pos, max(len(keys_arr) - 1, 0))
+        hit = (keys_arr[pos_c] == lkeys) if len(keys_arr) else np.zeros(len(lkeys), bool)
+        if join_type == "inner":
+            if not hit.any():
+                cols = {c: batch.column(c).slice(0, 0) for c in lcols}
+                for c in rcols:
+                    cols[c] = pa.nulls(0, r_types[c])
+                return pa.table(cols)
+            lt = batch.filter(pa.array(hit))
+            rsel = rd.take(pa.array(pos_c[hit], type=pa.int64()))
+            cols = {c: lt.column(c) for c in lcols}
+            for c in rcols:
+                cols[c] = rsel.column(c)
+            return pa.table(cols)
+        idx = pa.array(pos_c.astype(np.int64), type=pa.int64(), mask=~hit)
+        rsel = rd.take(idx)
+        cols = {c: batch.column(c) for c in lcols}
+        for c in rcols:
+            cols[c] = rsel.column(c)
+        return pa.table(cols)
+
+    return left.map_batches(attach, batch_format="pyarrow")
+
+
 def partitioned_groups(ds, key_col: str, partition_fn, cfg: DedupConfig):
     """Group-wise processing at PARTITION granularity.
 

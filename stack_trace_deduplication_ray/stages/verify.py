@@ -47,7 +47,14 @@ def attach_pair_features(
     stage_boundary=True materializes between the two joins: Ray's
     streaming executor was measured 2-3x slower running chained
     AllToAll exchanges as one graph than staged (verify at 100k rows:
-    9.5 s streamed vs 5.7 s staged)."""
+    9.5 s streamed vs 5.7 s staged).
+
+    NOT broadcast-gated (unlike the small-side attaches in
+    rerank/similarity/text): the fold-in dedup here needs a pair-keyed
+    exchange regardless, and an A/B at 8k rows measured the
+    broadcast + dedicated-dedup-exchange variant neutral-to-slower
+    (19.1/18.4 s vs 18.4/17.9 s flagship) — the saved join was the
+    cheap part."""
     feat_cols = [c for c in feats.schema().names if c != "image_id"]
 
     def renamer(suffix):
