@@ -114,3 +114,66 @@ class BpeEncoder:
         for w in text.split():
             out.extend(self.encode_word(w))
         return out
+
+
+# --- sequence padding (M12) ------------------------------------------
+
+# Special token ids follow the reference's SpecialTokens ordering
+# (PAD/SOS/EOS; ea/sim/main/preprocess/id_coder.py).
+PAD_ID, SOS_ID, EOS_ID = 0, 1, 2
+
+
+def pad_sequences_batch(batch, col: str = "seq", max_len: int = 64,
+                        fixed: bool = False):
+    """Vectorized M12 padding coder over an Arrow list<int> column
+    (reference Padding.encode,
+    ea/sim/main/preprocess/tokenizers/padding.py:8-107): each sequence
+    is LEFT-truncated to its last `max_len` ids (the deepest frames
+    survive, matching pad_seq's seq[len-min(len,max_len):]), then
+    wrapped [SOS] + seq + [EOS]. With fixed=True the result is
+    right-padded with PAD to exactly max_len + 2 ids (the
+    fixed-length-tensor layout a batched model input needs).
+
+    Pure offset arithmetic on the flattened values — no per-row
+    Python; returns the batch with `col` replaced by the padded
+    list column.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    arr = batch.column(col).combine_chunks()
+    offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+    vals = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = len(batch)
+    lens = offs[1:] - offs[:-1]
+    keep = np.minimum(lens, max_len)
+    starts = offs[1:] - keep  # keep the TAIL of each sequence
+    out_len = keep + 2 if not fixed else np.full(n, max_len + 2, np.int64)
+    new_offs = np.concatenate([[0], np.cumsum(out_len)])
+    flat = np.full(int(new_offs[-1]), PAD_ID, dtype=np.int64)
+    row = np.repeat(np.arange(n), keep)
+    # position of each kept id inside its output row: SOS occupies
+    # slot 0, so kept ids start at 1
+    within = (
+        np.arange(len(row), dtype=np.int64)
+        - np.repeat(np.cumsum(keep) - keep, keep)
+    )
+    src = np.repeat(starts, keep) + within
+    flat[new_offs[row] + 1 + within] = vals[src]
+    flat[new_offs[:-1]] = SOS_ID
+    flat[new_offs[:-1] + 1 + keep] = EOS_ID
+    padded = pa.ListArray.from_arrays(
+        pa.array(new_offs, type=pa.int32()), pa.array(flat, type=pa.int64())
+    )
+    i = batch.schema.get_field_index(col)
+    return batch.set_column(i, col, padded)
+
+
+def pad_sequences_ds(ds, col: str = "seq", max_len: int = 64,
+                     fixed: bool = False):
+    """Dataset-level M12: map_batches wrapper of pad_sequences_batch."""
+
+    def fn(batch):
+        return pad_sequences_batch(batch, col=col, max_len=max_len, fixed=fixed)
+
+    return ds.map_batches(fn, batch_format="pyarrow")

@@ -123,6 +123,45 @@ def _retrieve_candidates(
     return partitioned_groups(pairs, "query_id", topn, cfg)
 
 
+def _mock_predictions(candidates, cfg: DedupConfig, out_dir: str, k: int):
+    """P10 mock scorer: re-rank the cached candidates with a SEEDED
+    hash score instead of the exact model — measures the
+    retrieval->sink->eval plumbing latency with zero model cost, and
+    is deterministic so tests can pin its output (reference
+    S3MMockRetrievalModel, ea/sim/main/methods/S3M_mock_retrival.py:7-54,
+    which swaps random embeddings in for the trained ones for latency
+    measurement)."""
+    from stack_trace_deduplication_ray.functions import hashing as H
+    from stack_trace_deduplication_ray.sources.sinks import write_ranked_predictions
+
+    def score(batch: pa.Table) -> pa.Table:
+        q = batch.column("query_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        c = batch.column("candidate_id").to_numpy(zero_copy_only=False).astype(np.int64)
+        h = H.splitmix64(
+            H.hash_ids(q, seed=0x5C03E) ^ H.hash_ids(c, seed=0xCAFE)
+        )
+        s = h.astype(np.float64) / float(2**64)
+        return pa.table(
+            {
+                "query_id": pa.array(q),
+                "candidate_id": pa.array(c),
+                "score": pa.array(np.round(s, 6)),
+            }
+        )
+
+    scored = candidates.map_batches(score, batch_format="pyarrow")
+    pred_dir = os.path.join(out_dir, "predictions_mock")
+    if os.path.isdir(pred_dir):
+        import shutil
+
+        shutil.rmtree(pred_dir)
+    write_ranked_predictions(
+        scored, pred_dir, k=k, cfg=cfg,
+        lineage={"stage": "mock_rerank"},
+    )
+    return pred_dir
+
+
 def _rerank_predictions(candidates, sf_dir: str, cfg: DedupConfig, out_dir: str, k: int):
     """Stage 3: exact-cosine re-score of the cached candidates, then
     the ranked prediction sink. Returns the written-predictions path."""
@@ -286,6 +325,7 @@ def retrieve_rerank_metrics(
     n_bits: int | None = None,
     n_tables: int = 16,
     run_dir: str | None = None,
+    mock_scorer: bool = False,
 ):
     """The full two-stage pipeline as one driver query: LSH retrieval
     top-N -> checkpointed candidate table -> exact-cosine rerank ->
@@ -295,6 +335,8 @@ def retrieve_rerank_metrics(
 
     top_n=50 mirrors the reference's index cut
     (ea/sim/dev/scripts/training/arg_parsers.py:12 top-50 default).
+    mock_scorer=True swaps the exact model for the P10 seeded hash
+    scorer (plumbing-latency measurement; see _mock_predictions).
 
     Output: one row (n_queries, acc1, acc3, acc5, acc10, mrr10).
     """
@@ -326,5 +368,8 @@ def retrieve_rerank_metrics(
         "retrieval_candidates",
         lambda: _retrieve_candidates(sf_dir, top_n, n_bits, n_tables, cfg),
     )
-    pred_dir = _rerank_predictions(candidates, sf_dir, cfg, root, k)
+    if mock_scorer:
+        pred_dir = _mock_predictions(candidates, cfg, root, k)
+    else:
+        pred_dir = _rerank_predictions(candidates, sf_dir, cfg, root, k)
     return _rank_metrics(pred_dir, sf_dir, cfg, k)

@@ -71,3 +71,21 @@ def test_ranked_predictions_are_topk_sorted(ray_session, run_dir):
         assert np.array_equal(
             s["candidate_id"].to_numpy(), g["candidate_id"].to_numpy()
         )
+
+
+def test_mock_scorer_deterministic(ray_session, run_dir):
+    """P10: the seeded hash scorer produces identical metrics across
+    runs and exercises the same sink/eval plumbing."""
+    from stack_trace_deduplication_ray.pipelines.rerank import (
+        retrieve_rerank_metrics,
+    )
+
+    a = retrieve_rerank_metrics(
+        "/root/testdata/sf0.001", run_dir=str(run_dir), mock_scorer=True
+    ).to_pydict()
+    b = retrieve_rerank_metrics(
+        "/root/testdata/sf0.001", run_dir=str(run_dir), mock_scorer=True
+    ).to_pydict()
+    assert a == b
+    assert a["n_queries"][0] > 0
+    assert 0.0 <= a["acc10"][0] <= 1.0 and 0.0 <= a["mrr10"][0] <= 1.0

@@ -52,3 +52,61 @@ def test_bpe_query_runs(ray_session):
     assert out.sort_values("doc_id").reset_index(drop=True).equals(
         out2.sort_values("doc_id").reset_index(drop=True)
     )
+
+
+def test_pad_sequences_batch_semantics():
+    """M12: left-truncate to max_len, wrap SOS/EOS, optional fixed pad
+    (reference padding.py:8-107 semantics)."""
+    import pyarrow as pa
+
+    from stack_trace_deduplication_ray.functions.tokenize import (
+        EOS_ID,
+        PAD_ID,
+        SOS_ID,
+        pad_sequences_batch,
+    )
+
+    batch = pa.table(
+        {
+            "rid": pa.array([1, 2, 3], type=pa.int64()),
+            "seq": pa.array(
+                [[10, 11, 12, 13, 14], [20], []],
+                type=pa.list_(pa.int64()),
+            ),
+        }
+    )
+    out = pad_sequences_batch(batch, col="seq", max_len=3)
+    seqs = out.column("seq").to_pylist()
+    # left-truncate keeps the LAST max_len ids (deepest frames)
+    assert seqs[0] == [SOS_ID, 12, 13, 14, EOS_ID]
+    assert seqs[1] == [SOS_ID, 20, EOS_ID]
+    assert seqs[2] == [SOS_ID, EOS_ID]
+    assert out.column("rid").to_pylist() == [1, 2, 3]
+
+    fixed = pad_sequences_batch(batch, col="seq", max_len=3, fixed=True)
+    fseqs = fixed.column("seq").to_pylist()
+    assert all(len(s) == 5 for s in fseqs)
+    assert fseqs[1] == [SOS_ID, 20, EOS_ID, PAD_ID, PAD_ID]
+    assert fseqs[2] == [SOS_ID, EOS_ID, PAD_ID, PAD_ID, PAD_ID]
+
+
+def test_pad_sequences_ds(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.functions.tokenize import (
+        pad_sequences_ds,
+    )
+
+    rng = np.random.default_rng(3)
+    seqs = [list(rng.integers(10, 100, rng.integers(0, 30))) for _ in range(500)]
+    ds = rd.from_arrow(
+        pa.table({"seq": pa.array(seqs, type=pa.list_(pa.int64()))})
+    )
+    out = pad_sequences_ds(ds, max_len=8, fixed=True).to_pandas()
+    assert all(len(s) == 10 for s in out["seq"])
+    # tail-preservation: last real id before EOS == original last id
+    for orig, padded in zip(seqs, out["seq"]):
+        body = [t for t in padded[1:] if t not in (0, 2)]
+        assert body == orig[-8:]
