@@ -317,7 +317,12 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
         edges = exact_edges.union(verified)
     else:
         edges = exact_edges
-    return cand.dedup_edges(edges, cfg), stats
+    # RAW union (multi-stage confirmations may duplicate a pair):
+    # run_dedup's cluster path consumes it directly — union-find and
+    # min-label propagation are duplicate-tolerant, so the canonical
+    # (src, dst) dedup exchange is applied LAZILY only on the
+    # user-visible edges output
+    return edges, stats
 
 
 def run_dedup(
@@ -358,8 +363,8 @@ def run_dedup(
         # full resume: every edge set is checkpointed — skip signature
         # computation entirely (cluster ids come from the input table)
         logger.info("resume: loading all edge sets from checkpoint")
-        edges = cand.dedup_edges(
-            ckpt.load("exact_edges").union(ckpt.load("verified_edges")), cfg
+        edges = ckpt.load("exact_edges").union(
+            ckpt.load("verified_edges")
         ).materialize()
         stats = []
         sigs = None
@@ -395,6 +400,10 @@ def run_dedup(
         if sigs is not None
         else _id_map(images_ds).materialize()
     )
+    # `edges` is the RAW stage union here: duplicate pair rows (a pair
+    # confirmed by several stages) inflate the count slightly, which
+    # only makes the driver-CC gate CONSERVATIVE; union-find itself is
+    # duplicate-tolerant
     if id_is_str and edges.count() <= cfg.driver_cc_max_edges:
         # fast path: driver union-find + broadcast name restore —
         # zero exchanges after the edge table
@@ -406,7 +415,14 @@ def run_dedup(
         )
         if id_is_str:
             clusters = _restore_names(clusters, id_map, cfg)
-    return {"clusters": clusters, "edges": edges, "stats": stats}
+    # the user-visible edge table keeps the canonical one-row-per-pair
+    # contract (E5); the dedup exchange executes only when a consumer
+    # actually reads it — the clusters path above never pays it
+    return {
+        "clusters": clusters,
+        "edges": cand.dedup_edges(edges, cfg),
+        "stats": stats,
+    }
 
 
 def cluster_summary(clusters) -> pa.Table:
