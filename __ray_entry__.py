@@ -67,6 +67,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "language_id": analysis.language_id,
         "fingerprints": analysis.fingerprints,
         "bpe_token_counts": analysis.bpe_token_counts,
+        "padded_sequences": analysis.padded_sequences,
         # --- relational / aggregation / top-k (SURVEY §2.5, §2.7) ----
         "events_top_value_per_type": relational.events_top_value_per_type,
         "events_daily_user_agg": relational.events_daily_user_agg,
@@ -91,6 +92,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retrieval_threshold_metrics": evaluation.retrieval_threshold_metrics,
         # --- two-stage retrieve-then-rerank serving pipeline ----------
         "retrieve_rerank_metrics": rerank.retrieve_rerank_metrics,
+        "mock_rerank_metrics": rerank.mock_rerank_metrics,
     }
 
 
@@ -183,6 +185,27 @@ def oracle_sql() -> dict[str, str]:
         """,
         "fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents
+        """,
+        "padded_sequences": """
+            WITH s AS (
+                SELECT doc_id,
+                       list_transform(string_split(text, ' '),
+                                      w -> length(w)) AS seq
+                FROM documents
+            ), t AS (
+                SELECT doc_id,
+                       list_concat(list_concat(
+                           [1], seq[greatest(len(seq)-16+1,1):len(seq)]
+                       ), [2]) AS p
+                FROM s
+            )
+            SELECT doc_id,
+                   len(p) AS n_ids,
+                   p[1] AS first_id,
+                   p[len(p)] AS last_id,
+                   CAST(list_sum(list_transform(p, (x, i) -> x * i))
+                        AS BIGINT) AS checksum
+            FROM t
         """,
         "events_top_value_per_type": """
             SELECT event_type, event_id, value FROM (

@@ -272,3 +272,57 @@ def bpe_token_counts(sf_dir: str, num_merges: int = 200, fit_sample_mod: int = 5
         concurrency=(1, resolve_actors(cfg)),
         num_cpus=1,
     )
+
+
+def padded_sequences(sf_dir: str, max_len: int = 16):
+    """M12 padding as a driver query: per-document word-LENGTH
+    sequences (deterministic, SQL-replicable token ids) run through
+    the padding coder — left-truncate to the last `max_len` ids, wrap
+    [SOS] + seq + [EOS] (functions/tokenize.pad_sequences_batch;
+    reference Padding.encode, padding.py:8-107).
+
+    Output is reduced to order-sensitive scalars so the driver can
+    hash-compare against the DuckDB oracle: (doc_id, n_ids, first_id,
+    last_id, checksum) with checksum = sum(1-indexed position * id)
+    over the padded sequence.
+    """
+    import pyarrow.compute as pc
+
+    from stack_trace_deduplication_ray.functions.tokenize import (
+        pad_sequences_batch,
+    )
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+
+    def seqs(batch: pa.Table) -> pa.Table:
+        tl = pc.split_pattern(batch.column("text"), " ").combine_chunks()
+        lens = pc.utf8_length(pc.list_flatten(tl)).cast(pa.int64())
+        seq = pa.ListArray.from_arrays(tl.offsets, lens)
+        return pa.table({"doc_id": batch.column("doc_id"), "seq": seq})
+
+    def reduce(batch: pa.Table) -> pa.Table:
+        padded = pad_sequences_batch(batch, col="seq", max_len=max_len)
+        arr = padded.column("seq").combine_chunks()
+        offs = arr.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+        vals = arr.values.to_numpy(zero_copy_only=False).astype(np.int64)
+        n = len(padded)
+        lens = offs[1:] - offs[:-1]
+        row = np.repeat(np.arange(n), lens)
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(offs[:-1], lens) + 1
+        checksum = np.zeros(n, dtype=np.int64)
+        np.add.at(checksum, row, vals * pos)
+        first = vals[offs[:-1]] if len(vals) else np.empty(0, np.int64)
+        last = vals[offs[1:] - 1] if len(vals) else np.empty(0, np.int64)
+        return pa.table(
+            {
+                "doc_id": padded.column("doc_id"),
+                "n_ids": pa.array(lens),
+                "first_id": pa.array(first),
+                "last_id": pa.array(last),
+                "checksum": pa.array(checksum),
+            }
+        )
+
+    return ds.map_batches(seqs, batch_format="pyarrow").map_batches(
+        reduce, batch_format="pyarrow"
+    )

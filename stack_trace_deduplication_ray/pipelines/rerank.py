@@ -373,3 +373,10 @@ def retrieve_rerank_metrics(
     else:
         pred_dir = _rerank_predictions(candidates, sf_dir, cfg, root, k)
     return _rank_metrics(pred_dir, sf_dir, cfg, k)
+
+
+def mock_rerank_metrics(sf_dir: str):
+    """P10 as a driver query: the retrieve->sink->eval pipeline with
+    the seeded hash scorer (latency-only mock; deterministic ->
+    rows-only driver check)."""
+    return retrieve_rerank_metrics(sf_dir, mock_scorer=True)
