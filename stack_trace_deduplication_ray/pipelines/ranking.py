@@ -40,8 +40,6 @@ def _df_fit(sf_dir: str) -> tuple[int, dict[int, int]]:
     Reference analog: FaST._Index.fit / LerchCrossEncoder.fit
     (fast.py:17-36, lerch.py:22-33) as one distinct-per-doc flat_map +
     groupby count (SURVEY.md §2.3 T2-T4)."""
-    from ray.data.aggregate import Count
-
     ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
     n_docs = ds.count()
 
@@ -77,15 +75,27 @@ def _df_fit(sf_dir: str) -> tuple[int, dict[int, int]]:
             }
         )
 
-    df_tbl = (
-        ds.map_batches(distinct, batch_format="pyarrow")
-        .groupby("tok")
-        .aggregate(Count(alias_name="df"))
-    ).to_pandas()
-    # tok travelled the shuffle as int64 (bit-cast); restore the
-    # unsigned domain the scoring lookups use
-    keys = df_tbl["tok"].to_numpy(dtype=np.int64).view(np.uint64)
-    df_of = {int(k): int(v) for k, v in zip(keys, df_tbl["df"])}
+    def partial_df(batch: pa.Table) -> pa.Table:
+        # per-batch partial DF: the (doc, token)-distinct rows collapse
+        # to one (token, count) row per batch-local token — no exchange
+        t = distinct(batch)
+        u, c = np.unique(
+            t.column("tok").to_numpy(zero_copy_only=False),
+            return_counts=True,
+        )
+        return pa.table(
+            {"tok": pa.array(u), "df": pa.array(c.astype(np.int64))}
+        )
+
+    # driver merge of the partials instead of a groupby SHUFFLE: the
+    # fit result is broadcast whole to every scorer anyway (fit_ref),
+    # so a driver-sized vocabulary is already this ranker's standing
+    # assumption — the merge just removes the fit's only all-to-all
+    # (measured ~5 s -> ~1.5 s at sf0.1)
+    parts = ds.map_batches(partial_df, batch_format="pyarrow").to_pandas()
+    agg = parts.groupby("tok", sort=False)["df"].sum()
+    keys = agg.index.to_numpy(dtype=np.int64).view(np.uint64)
+    df_of = {int(k): int(v) for k, v in zip(keys, agg.to_numpy())}
     return n_docs, df_of
 
 
