@@ -729,3 +729,48 @@ def ivf_knn(
         ds.map_batches(score, batch_format="pyarrow"),
         [("cos", True), ("vec_id", False)], k,
     )
+
+
+def embedding_dedup_clusters(sf_dir: str, threshold: float = 0.4):
+    """Embedding-cosine near-dup CLUSTERING: the LSH pair table
+    (memoized, `lsh_near_pairs`) feeds connected components, and every
+    vector absent from the edge set labels itself — the embedding-side
+    sibling of the text/image dedup families (one (vec_id, cluster_id)
+    row per vector, cluster_id = min member id).
+
+    LSH retrieval is probabilistic (seeded) -> rows-only driver check;
+    `ann_recall` quantifies the pair recall this clustering builds on.
+    """
+    import pyarrow as pa
+
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.pipelines.util import sized_cfg
+    from stack_trace_deduplication_ray.stages import cc as cc_mod
+
+    cfg = sized_cfg(sf_dir, "embeddings")
+    pairs = lsh_near_pairs(sf_dir, threshold=threshold)
+
+    def as_edges(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": batch.column("src"), "dst": batch.column("dst")}
+        )
+
+    edges = pairs.map_batches(as_edges, batch_format="pyarrow")
+
+    def as_ids(batch: pa.Table) -> pa.Table:
+        return pa.table({"image_id": batch.column("vec_id").cast(pa.int64())})
+
+    ids = read_table(sf_dir, "embeddings", columns=["vec_id"]).map_batches(
+        as_ids, batch_format="pyarrow"
+    )
+    clusters = cc_mod.assign_clusters(ids, edges, cfg)
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "vec_id": batch.column("image_id"),
+                "cluster_id": batch.column("cluster_id"),
+            }
+        )
+
+    return clusters.map_batches(rename, batch_format="pyarrow")

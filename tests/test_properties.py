@@ -98,3 +98,21 @@ def test_broadcast_attach_matches_pandas(ray_session, lk, rk, join_type):
     assert (got["k"].to_numpy() == want["k"].to_numpy()).all()
     gw, ww = got["w"].to_numpy(dtype=float), want["w"].to_numpy(dtype=float)
     assert ((gw == ww) | (np.isnan(gw) & np.isnan(ww))).all()
+
+
+def test_embedding_dedup_clusters(ray_session):
+    """Embedding near-dup clustering: every vector labeled exactly
+    once, cluster_id = min member id, deterministic across runs."""
+    from stack_trace_deduplication_ray.pipelines.similarity import (
+        embedding_dedup_clusters,
+    )
+
+    a = embedding_dedup_clusters("/root/testdata/sf0.001").to_pandas()
+    assert len(a) == 500 and a.vec_id.is_unique
+    mins = a.groupby("cluster_id")["vec_id"].min()
+    assert (mins.index == mins.values).all()
+    b = embedding_dedup_clusters("/root/testdata/sf0.001").to_pandas()
+    pd.testing.assert_frame_equal(
+        a.sort_values("vec_id").reset_index(drop=True),
+        b.sort_values("vec_id").reset_index(drop=True),
+    )
