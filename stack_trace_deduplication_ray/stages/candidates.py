@@ -607,6 +607,7 @@ def fused_pairs_from_buckets(
         idt = _id_pa_type(ids)
         sh = part["simhash"].to_numpy().astype(np.int64).view(U64)
         st = part["stage"].to_numpy()
+        has_ob = "obucket" in part.columns
         starts, ends = _group_bounds(keys)
         src_all, dst_all, st_all = [], [], []
         for s, e in zip(starts, ends):
@@ -640,21 +641,117 @@ def fused_pairs_from_buckets(
             src_all.append(src)
             dst_all.append(dst)
             st_all.append(np.full(len(src), g_stage, dtype=np.int8))
-        if not src_all:
-            return _edges_table([], [], np.empty(0, np.int8), idt)
-        return _edges_table(
-            np.concatenate(src_all),
-            np.concatenate(dst_all),
-            np.concatenate(st_all),
-            idt,
+        n_pairs = sum(len(a) for a in src_all)
+        piv_rep = piv_ob = piv_st = None
+        if has_ob:
+            # pivot rows for HOT rows (salted key != original bucket):
+            # min image_id per (obucket, salted key) — the sub-bucket
+            # representatives the bridge pass used to recompute by
+            # re-executing the whole expansion chain. One vectorized
+            # pass; singleton sub-buckets included (their member must
+            # still link into the component).
+            ob = part["obucket"].to_numpy()
+            hot_mask = ob != keys
+            if hot_mask.any():
+                hb, hk = ob[hot_mask], keys[hot_mask]
+                hi, hst = ids[hot_mask], st[hot_mask]
+                o = np.lexsort((hi, hk, hb))
+                hb, hk, hi, hst = hb[o], hk[o], hi[o], hst[o]
+                first = np.ones(len(hb), dtype=bool)
+                first[1:] = (hb[1:] != hb[:-1]) | (hk[1:] != hk[:-1])
+                piv_rep, piv_ob, piv_st = hi[first], hb[first], hst[first]
+        if n_pairs == 0 and piv_rep is None:
+            t = _edges_table([], [], np.empty(0, np.int8), idt)
+            return t.append_column(
+                "bridge_key", pa.array(np.empty(0, np.int64))
+            )
+        src = np.concatenate(src_all) if src_all else np.empty(0, np.int64)
+        dst = np.concatenate(dst_all) if src_all else np.empty(0, np.int64)
+        stc = (
+            np.concatenate(st_all) if src_all else np.empty(0, np.int8)
         )
+        bk = np.zeros(n_pairs, dtype=np.int64)
+        if piv_rep is not None:
+            # pivot rows ride the same output table: src = rep,
+            # dst = rep (placeholder), bridge_key = obucket (!= 0 for
+            # every hot bucket by key mixing; a mixed key of exactly 0
+            # is measure-zero and would only drop that bucket's bridge)
+            src = np.concatenate([src, piv_rep])
+            dst = np.concatenate([dst, piv_rep])
+            stc = np.concatenate([stc, piv_st.astype(np.int8)])
+            bk = np.concatenate([bk, piv_ob.astype(np.int64)])
+        t = _edges_table(src, dst, stc, idt)
+        return t.append_column("bridge_key", pa.array(bk))
 
-    edges = partitioned_groups(
-        salted.select_columns(["bucket", "image_id", "simhash", "stage"]),
-        "bucket", emit_partition, cfg,
+    exch_cols = ["bucket", "image_id", "simhash", "stage"]
+    if hot:
+        # +8 B/row on the exchange buys the bridge WITHOUT re-running
+        # the expansion chain: hotness is derivable per row as
+        # obucket != bucket (cold rows keep bucket == obucket)
+        exch_cols.append("obucket")
+    out = partitioned_groups(
+        salted.select_columns(exch_cols), "bucket", emit_partition, cfg
     )
     if hot:
-        edges = edges.union(_bridge_hot(salted, None, cfg))
+        # consumed twice (pairs + pivots) -> materialize the exchange
+        # output once; the caller's cand_edges.materialize() then only
+        # pays the small bridge-chain exchange on top
+        out = out.materialize()
+
+        def pairs_only(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.equal(batch.column("bridge_key"), pa.scalar(0, type=pa.int64()))
+            return batch.filter(m).drop_columns(["bridge_key"])
+
+        def pivots_only(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = pc.not_equal(
+                batch.column("bridge_key"), pa.scalar(0, type=pa.int64())
+            )
+            t = batch.filter(m)
+            return pa.table(
+                {
+                    "obk": t.column("bridge_key"),
+                    "rep": t.column("src"),
+                    "stage": t.column("stage"),
+                }
+            )
+
+        def chain(p: pd.DataFrame) -> pd.DataFrame:
+            keys2 = p["obk"].to_numpy()
+            reps2 = p["rep"].to_numpy()
+            st2 = p["stage"].to_numpy()
+            starts2, ends2 = _group_bounds(keys2)
+            s_all, d_all, t_all = [], [], []
+            for s, e in zip(starts2, ends2):
+                if e - s < 2:
+                    continue
+                g = np.sort(reps2[s:e])
+                s_all.append(g[:-1])
+                d_all.append(g[1:])
+                t_all.append(np.full(e - s - 1, st2[s], dtype=np.int8))
+            if not s_all:
+                return _edges_table(
+                    [], [], np.empty(0, np.int8), _id_pa_type(reps2)
+                )
+            return _edges_table(
+                np.concatenate(s_all),
+                np.concatenate(d_all),
+                np.concatenate(t_all),
+                _id_pa_type(reps2),
+            )
+
+        edges = out.map_batches(pairs_only, batch_format="pyarrow")
+        pivots = out.map_batches(pivots_only, batch_format="pyarrow")
+        bridge = partitioned_groups(pivots, "obk", chain, cfg)
+        edges = edges.union(bridge)
+    else:
+        def drop_bk(batch: pa.Table) -> pa.Table:
+            return batch.drop_columns(["bridge_key"])
+
+        edges = out.map_batches(drop_bk, batch_format="pyarrow")
     return decode_stage_codes(edges, stage_names), stats
 
 
