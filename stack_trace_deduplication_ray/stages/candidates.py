@@ -592,12 +592,13 @@ def fused_pairs_from_buckets(
             _salt_fn(hot_ref, cfg.salt_target, extra_cols=("simhash", "stage")),
             batch_format="pyarrow",
         )
-        # NOTE: the pair emission and the bridge pass each re-execute
-        # this lazy map chain. That is deliberate — materializing the
-        # full expansion (rows x keys) was measured 5x more expensive
-        # than re-running the vectorized expansion maps (170 s vs ~30 s
-        # at 1M rows), because the expansion is cheap compute but heavy
-        # bytes.
+        # The expansion chain executes exactly ONCE: bridge pivots are
+        # folded into the main candidate exchange below (emit_partition
+        # outputs them as sentinel rows; a tiny follow-up exchange
+        # chains them per original bucket). The expansion itself stays
+        # lazy and is never materialized — rows x keys was measured 5x
+        # more expensive to materialize than to stream (170 s vs ~30 s
+        # at 1M rows): cheap compute, heavy bytes.
     else:
         salted = tagged
 
