@@ -282,6 +282,11 @@ def broadcast_attach(
     if not unique_right:
         # duplicate right keys: per-batch pandas merge against the
         # broadcast frame (still zero exchanges)
+        lsch = left.schema()
+        out_schema = pa.schema(
+            list(zip(lsch.names, lsch.types))
+            + [(c, r_types[c]) for c in rcols]
+        )
         rdf = rdata.to_pandas()
         rdf["__key"] = rsorted
         ref = ray.put(rdf)
@@ -294,8 +299,10 @@ def broadcast_attach(
             ldf["__key"] = H.ids_np(batch.column(on).combine_chunks())
             how = "inner" if join_type == "inner" else "left"
             m = ldf.merge(r, on="__key", how=how)
+            # explicit schema: a left_outer miss otherwise degrades
+            # int64 right columns to float64 via pandas NaN
             return pa.Table.from_pandas(
-                m[lcols + rcols], preserve_index=False
+                m[lcols + rcols], schema=out_schema, preserve_index=False
             )
 
         return left.map_batches(attach_dup, batch_format="pyarrow")

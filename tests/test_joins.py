@@ -116,3 +116,25 @@ def test_gate_falls_back(ray_session):
     )
     df = out.to_pandas().sort_values("k").reset_index(drop=True)
     assert list(df["k"]) == [2, 3] and list(df["w"]) == [20, 30]
+
+
+def test_broadcast_duplicate_right_left_outer_types(ray_session):
+    """left_outer + duplicate right keys + misses must keep int64
+    (Arrow nulls), not degrade to float64 via pandas NaN."""
+    left = _mk(ray_session, {
+        "k": pa.array([1, 2, 9], type=pa.int64()),
+        "v": pa.array([10, 20, 90]),
+    })
+    right = _mk(ray_session, {
+        "__rk": pa.array([1, 1], type=pa.int64()),
+        "w": pa.array([100, 101], type=pa.int64()),
+    })
+    out = broadcast_attach(
+        left, right, "k", "__rk", CFG,
+        join_type="left_outer", right_rows=2,
+    )
+    sch = dict(zip(out.schema().names, out.schema().types))
+    assert str(sch["w"]) == "int64"
+    df = out.to_pandas().sort_values(["k", "w"]).reset_index(drop=True)
+    assert df[df.k == 9]["w"].isna().all()
+    assert sorted(df[df.k == 1]["w"].dropna()) == [100, 101]
