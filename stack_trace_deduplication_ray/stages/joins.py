@@ -238,6 +238,7 @@ def broadcast_attach(
     right_rows: int | None = None,
     max_rows: int | None = None,
     dedup_left: list[str] | None = None,
+    force: bool = False,
 ):
     """Size-gated broadcast equi-join: same output contract as
     `join_ds` (left columns + right columns minus `right_on`), but the
@@ -256,7 +257,7 @@ def broadcast_attach(
     side is structurally duplicate-free under broadcast.
     """
     assert join_type in ("inner", "left_outer"), join_type
-    if not should_broadcast(cfg, right_rows, max_rows):
+    if not force and not should_broadcast(cfg, right_rows, max_rows):
         return join_ds(
             left, right, on, right_on, cfg,
             join_type=join_type, dedup_left=dedup_left,

@@ -34,7 +34,7 @@ U64 = np.uint64
 def attach_pair_features(
     edges, feats, cfg: DedupConfig, suffixes=("_src", "_dst"),
     dedup_pairs: bool = False, dedup_cols: list[str] | None = None,
-    stage_boundary: bool = True,
+    stage_boundary: bool = True, feat_size_bytes: int | None = None,
 ):
     """edges(src, dst, ...) x feats(image_id, f...) -> one row per edge
     with f_src / f_dst columns (two partitioned hash joins; feature
@@ -49,12 +49,16 @@ def attach_pair_features(
     AllToAll exchanges as one graph than staged (verify at 100k rows:
     9.5 s streamed vs 5.7 s staged).
 
-    NOT broadcast-gated (unlike the small-side attaches in
-    rerank/similarity/text): the fold-in dedup here needs a pair-keyed
-    exchange regardless, and an A/B at 8k rows measured the
-    broadcast + dedicated-dedup-exchange variant neutral-to-slower
-    (19.1/18.4 s vs 18.4/17.9 s flagship) — the saved join was the
-    cheap part."""
+    feat_size_bytes: caller-known feature-table size (a materialized
+    signature table's size_bytes() is metadata-free; a projection's
+    parent size over-estimates, which only errs toward the fallback).
+    Under cfg.broadcast_feats_max_bytes BOTH attaches become
+    zero-exchange broadcast lookups and the requested pair dedup runs
+    as its own NARROW exchange (pairs only, no feature payload):
+    measured 14.3-17.6 s -> 9.1-9.4 s for the 500k verify phase with
+    identical output. The win is size-dependent — at 8k rows (~4 MB
+    features) it is neutral — so the gate is in BYTES; above it the
+    partitioned shape runs unchanged (the 100-TB path)."""
     feat_cols = [c for c in feats.schema().names if c != "image_id"]
 
     def renamer(suffix):
@@ -67,13 +71,37 @@ def attach_pair_features(
         return fn
 
     f_src = feats.map_batches(renamer(suffixes[0]), batch_format="pyarrow")
+    f_dst = feats.map_batches(renamer(suffixes[1]), batch_format="pyarrow")
+    if (
+        feat_size_bytes is not None
+        and feat_size_bytes <= cfg.broadcast_feats_max_bytes
+    ):
+        from stack_trace_deduplication_ray.stages.joins import (
+            broadcast_attach,
+            partitioned_groups,
+        )
+
+        if dedup_pairs:
+            cols = dedup_cols or ["src", "dst"]
+
+            def drop(part: pd.DataFrame) -> pd.DataFrame:
+                return part.drop_duplicates(cols, keep="first")
+
+            edges = partitioned_groups(edges, "src", drop, cfg)
+        # the gate decision was made here, by BYTES — force past the
+        # rows gate inside broadcast_attach
+        j1 = broadcast_attach(
+            edges, f_src, "src", "__fid" + suffixes[0], cfg, force=True,
+        )
+        return broadcast_attach(
+            j1, f_dst, "dst", "__fid" + suffixes[1], cfg, force=True,
+        )
     j1 = join_ds(
         edges, f_src, "src", "__fid" + suffixes[0], cfg,
         dedup_left=(dedup_cols or ["src", "dst"]) if dedup_pairs else None,
     )
     if stage_boundary:
         j1 = j1.materialize()
-    f_dst = feats.map_batches(renamer(suffixes[1]), batch_format="pyarrow")
     return join_ds(j1, f_dst, "dst", "__fid" + suffixes[1], cfg)
 
 
@@ -288,9 +316,17 @@ def verify_fused(edges, sigs, cfg: DedupConfig, has_image: bool):
     # intermediate of the whole pipeline (pairs x thumbnails);
     # materializing it helps small corpora but costs more than the
     # streamed re-plan at 500k rows on 8 CPUs (measured +60 s)
+    # sigs is materialized by run_dedup -> size_bytes() is metadata-
+    # free; the parent-table size over-estimates the projected feats,
+    # which only errs toward the partitioned fallback
+    try:
+        feat_bytes = sigs.size_bytes()
+    except Exception:
+        feat_bytes = None
     paired = attach_pair_features(
         edges, feats, cfg, dedup_pairs=True,
         dedup_cols=["src", "dst", "stage"], stage_boundary=False,
+        feat_size_bytes=feat_bytes,
     )
     L = cfg.substring_min_len
 
