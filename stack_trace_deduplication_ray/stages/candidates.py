@@ -297,9 +297,94 @@ def _salt_fn(hot_ref, target: int, extra_cols: tuple[str, ...] = ()):
     return salt_batch
 
 
-def _keep_hot(batch: pa.Table) -> pa.Table:
-    """Vectorized mask keeping only rows of salted (hot) buckets."""
-    return batch.filter(batch.column("is_hot"))
+def _with_pivots(part, src, dst, stage, idt, ids, keys):
+    """Append per-sub-bucket pivot sentinel rows to a pair-emission
+    output: for every hot row group (obucket != salted key, all rows
+    co-located in this partition) one row with src = dst = min
+    image_id and bridge_key = obucket. Non-hot emissions get
+    bridge_key = 0. One vectorized lexsort pass — this is what lets
+    the bridge ride the main candidate exchange instead of
+    re-executing the expansion chain (see fused_pairs_from_buckets)."""
+    piv_rep = piv_ob = None
+    if "obucket" in part.columns:
+        ob = part["obucket"].to_numpy()
+        hot_mask = ob != keys
+        if hot_mask.any():
+            hb, hk, hi = ob[hot_mask], keys[hot_mask], ids[hot_mask]
+            o = np.lexsort((hi, hk, hb))
+            hb, hk, hi = hb[o], hk[o], hi[o]
+            first = np.ones(len(hb), dtype=bool)
+            first[1:] = (hb[1:] != hb[:-1]) | (hk[1:] != hk[:-1])
+            piv_rep, piv_ob = hi[first], hb[first]
+    src = np.asarray(src)
+    dst = np.asarray(dst)
+    n_pairs = len(src)
+    bk = np.zeros(n_pairs, dtype=np.int64)
+    ib = np.zeros(n_pairs, dtype=np.int8)
+    if piv_rep is not None:
+        src = np.concatenate([src, piv_rep]) if len(src) else piv_rep
+        dst = np.concatenate([dst, piv_rep]) if len(dst) else piv_rep
+        bk = np.concatenate([bk, piv_ob.astype(np.int64)])
+        ib = np.concatenate([ib, np.ones(len(piv_rep), dtype=np.int8)])
+    t = _edges_table(src, dst, stage, idt)
+    # explicit marker — 0 is a legitimate obucket value in the
+    # single-stage paths (raw caller-provided bucket ids), so the
+    # pivot rows cannot be distinguished by bridge_key alone
+    t = t.append_column("bridge_key", pa.array(bk))
+    return t.append_column("is_bridge", pa.array(ib))
+
+
+def _assemble_with_bridge(out, stage: str, hot, cfg: DedupConfig):
+    """Split a pair+pivot emission into final edges: real pairs pass
+    through; pivot sentinels (bridge_key != 0) chain per original
+    bucket in one NARROW exchange. `stage` is the scalar stage label
+    of the single-stage (legacy) paths."""
+
+    def drop_bk(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["bridge_key", "is_bridge"])
+
+    if not hot:
+        return out.map_batches(drop_bk, batch_format="pyarrow")
+    # consumed twice (pairs + pivots): materialize the exchange output
+    out = out.materialize()
+
+    def pairs_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.equal(batch.column("is_bridge"), pa.scalar(0, type=pa.int8()))
+        return batch.filter(m).drop_columns(["bridge_key", "is_bridge"])
+
+    def pivots_only(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.equal(batch.column("is_bridge"), pa.scalar(1, type=pa.int8()))
+        t = batch.filter(m)
+        return pa.table(
+            {"obk": t.column("bridge_key"), "rep": t.column("src")}
+        )
+
+    def chain(p: pd.DataFrame) -> pd.DataFrame:
+        keys2 = p["obk"].to_numpy()
+        reps2 = p["rep"].to_numpy()
+        idt = _id_pa_type(reps2)
+        starts2, ends2 = _group_bounds(keys2)
+        s_all, d_all = [], []
+        for s, e in zip(starts2, ends2):
+            if e - s < 2:
+                continue
+            g = np.sort(reps2[s:e])
+            s_all.append(g[:-1])
+            d_all.append(g[1:])
+        if not s_all:
+            return _edges_table([], [], stage, idt)
+        return _edges_table(
+            np.concatenate(s_all), np.concatenate(d_all), stage, idt
+        )
+
+    edges = out.map_batches(pairs_only, batch_format="pyarrow")
+    pivots = out.map_batches(pivots_only, batch_format="pyarrow")
+    bridge = partitioned_groups(pivots, "obk", chain, cfg)
+    return edges.union(bridge)
 
 
 def pairs_from_buckets(
@@ -338,72 +423,18 @@ def pairs_from_buckets(
                 i, j = np.triu_indices(n, k=1)
                 src_all.append(g[i])
                 dst_all.append(g[j])
-        if not src_all:
-            return _edges_table([], [], stage, idt)
-        return _edges_table(
-            np.concatenate(src_all), np.concatenate(dst_all), stage, idt
-        )
+        src = np.concatenate(src_all) if src_all else np.empty(0, np.int64)
+        dst = np.concatenate(dst_all) if src_all else np.empty(0, np.int64)
+        return _with_pivots(part, src, dst, stage, idt, ids, keys)
 
-    edges = partitioned_groups(
-        salted.select_columns(["bucket", "image_id"]), "bucket",
-        emit_partition, cfg,
+    cols = ["bucket", "image_id"] + (["obucket"] if hot else [])
+    edges = _assemble_with_bridge(
+        partitioned_groups(
+            salted.select_columns(cols), "bucket", emit_partition, cfg
+        ),
+        stage, hot, cfg,
     )
-
-    if hot:
-        edges = edges.union(_bridge_hot(salted, stage, cfg))
     return edges, stats
-
-
-def _bridge_hot(salted, stage: str | None, cfg: DedupConfig):
-    """Bridge edges between the sub-buckets of each salted hot bucket:
-    chain the per-sub-bucket min ids so the hot bucket stays ONE
-    connected component (salted == unsalted clustering).
-
-    `stage=None` reads the per-row `stage` column instead (fused path
-    — buckets are stage-pure by key mixing, so Min(stage) per
-    sub-bucket is the group's stage)."""
-    from ray.data.aggregate import Min
-
-    hot_rows = salted.map_batches(_keep_hot, batch_format="pyarrow")
-    aggs = [Min("image_id", alias_name="rep")]
-    cols = ["obucket", "rep"]
-    if stage is None:
-        aggs.append(Min("stage", alias_name="gstage"))
-        cols.append("gstage")
-    reps = hot_rows.groupby(["obucket", "bucket"]).aggregate(*aggs)
-
-    def bridge(part: pd.DataFrame) -> pd.DataFrame:
-        keys = part["obucket"].to_numpy()
-        ids = part["rep"].to_numpy()
-        idt = _id_pa_type(ids)
-        st = part["gstage"].to_numpy() if stage is None else None
-        starts, ends = _group_bounds(keys)
-        src_all, dst_all, st_all = [], [], []
-        for s, e in zip(starts, ends):
-            if e - s < 2:
-                continue
-            g = np.sort(ids[s:e])
-            src_all.append(g[:-1])
-            dst_all.append(g[1:])
-            if st is not None:
-                # int8 exchange codes in the fused path
-                st_all.append(np.full(e - s - 1, st[s], dtype=st.dtype))
-        if not src_all:
-            return _edges_table(
-                [], [],
-                np.empty(0, np.int8) if stage is None else stage,
-                idt,
-            )
-        return _edges_table(
-            np.concatenate(src_all),
-            np.concatenate(dst_all),
-            stage if stage is not None else np.concatenate(st_all),
-            idt,
-        )
-
-    return partitioned_groups(
-        reps.select_columns(cols), "obucket", bridge, cfg
-    )
 
 
 def simhash_pairs_from_buckets(expanded, stage: str, cfg: DedupConfig):
@@ -459,18 +490,17 @@ def simhash_pairs_from_buckets(expanded, stage: str, cfg: DedupConfig):
             a, b = g_ids[i[keep]], g_ids[j[keep]]
             src_all.append(np.minimum(a, b))
             dst_all.append(np.maximum(a, b))
-        if not src_all:
-            return _edges_table([], [], stage, idt)
-        return _edges_table(
-            np.concatenate(src_all), np.concatenate(dst_all), stage, idt
-        )
+        src = np.concatenate(src_all) if src_all else np.empty(0, np.int64)
+        dst = np.concatenate(dst_all) if src_all else np.empty(0, np.int64)
+        return _with_pivots(part, src, dst, stage, idt, ids, keys)
 
-    edges = partitioned_groups(
-        salted.select_columns(["bucket", "image_id", "simhash"]), "bucket",
-        emit_partition, cfg,
+    cols = ["bucket", "image_id", "simhash"] + (["obucket"] if hot else [])
+    edges = _assemble_with_bridge(
+        partitioned_groups(
+            salted.select_columns(cols), "bucket", emit_partition, cfg
+        ),
+        stage, hot, cfg,
     )
-    if hot:
-        edges = edges.union(_bridge_hot(salted, stage, cfg))
     return edges, stats
 
 
@@ -663,8 +693,11 @@ def fused_pairs_from_buckets(
                 piv_rep, piv_ob, piv_st = hi[first], hb[first], hst[first]
         if n_pairs == 0 and piv_rep is None:
             t = _edges_table([], [], np.empty(0, np.int8), idt)
-            return t.append_column(
+            t = t.append_column(
                 "bridge_key", pa.array(np.empty(0, np.int64))
+            )
+            return t.append_column(
+                "is_bridge", pa.array(np.empty(0, np.int8))
             )
         src = np.concatenate(src_all) if src_all else np.empty(0, np.int64)
         dst = np.concatenate(dst_all) if src_all else np.empty(0, np.int64)
@@ -672,17 +705,19 @@ def fused_pairs_from_buckets(
             np.concatenate(st_all) if src_all else np.empty(0, np.int8)
         )
         bk = np.zeros(n_pairs, dtype=np.int64)
+        ib = np.zeros(n_pairs, dtype=np.int8)
         if piv_rep is not None:
             # pivot rows ride the same output table: src = rep,
-            # dst = rep (placeholder), bridge_key = obucket (!= 0 for
-            # every hot bucket by key mixing; a mixed key of exactly 0
-            # is measure-zero and would only drop that bucket's bridge)
+            # dst = rep (placeholder), bridge_key = obucket,
+            # is_bridge = 1 (explicit marker — see _with_pivots)
             src = np.concatenate([src, piv_rep])
             dst = np.concatenate([dst, piv_rep])
             stc = np.concatenate([stc, piv_st.astype(np.int8)])
             bk = np.concatenate([bk, piv_ob.astype(np.int64)])
+            ib = np.concatenate([ib, np.ones(len(piv_rep), dtype=np.int8)])
         t = _edges_table(src, dst, stc, idt)
-        return t.append_column("bridge_key", pa.array(bk))
+        t = t.append_column("bridge_key", pa.array(bk))
+        return t.append_column("is_bridge", pa.array(ib))
 
     exch_cols = ["bucket", "image_id", "simhash", "stage"]
     if hot:
@@ -702,14 +737,16 @@ def fused_pairs_from_buckets(
         def pairs_only(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            m = pc.equal(batch.column("bridge_key"), pa.scalar(0, type=pa.int64()))
-            return batch.filter(m).drop_columns(["bridge_key"])
+            m = pc.equal(
+                batch.column("is_bridge"), pa.scalar(0, type=pa.int8())
+            )
+            return batch.filter(m).drop_columns(["bridge_key", "is_bridge"])
 
         def pivots_only(batch: pa.Table) -> pa.Table:
             import pyarrow.compute as pc
 
-            m = pc.not_equal(
-                batch.column("bridge_key"), pa.scalar(0, type=pa.int64())
+            m = pc.equal(
+                batch.column("is_bridge"), pa.scalar(1, type=pa.int8())
             )
             t = batch.filter(m)
             return pa.table(
@@ -750,7 +787,7 @@ def fused_pairs_from_buckets(
         edges = edges.union(bridge)
     else:
         def drop_bk(batch: pa.Table) -> pa.Table:
-            return batch.drop_columns(["bridge_key"])
+            return batch.drop_columns(["bridge_key", "is_bridge"])
 
         edges = out.map_batches(drop_bk, batch_format="pyarrow")
     return decode_stage_codes(edges, stage_names), stats
