@@ -196,8 +196,8 @@ def oracle_sql() -> dict[str, str]:
             ), t AS (
                 SELECT doc_id,
                        list_concat(list_concat(
-                           [1], seq[greatest(len(seq)-16+1,1):len(seq)]
-                       ), [2]) AS p
+                           [2], seq[greatest(len(seq)-16+1,1):len(seq)]
+                       ), [3]) AS p
                 FROM s
             )
             SELECT doc_id,

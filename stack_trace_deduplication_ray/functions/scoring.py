@@ -32,6 +32,21 @@ def idf_lerch(df: np.ndarray, n_docs: int) -> np.ndarray:
     return 1.0 + np.log(n_docs / (df.astype(np.float64) + 1.0))
 
 
+def df_lookup(ids: np.ndarray, keys: np.ndarray, vals: np.ndarray) -> np.ndarray:
+    """Vectorized lookup in a (sorted keys, vals) array-pair table —
+    the broadcast representation of the DF fit (a dict of boxed ints
+    is ~10x the memory and a hashtable probe per row). Missing ids
+    map to 0. `ids` and `keys` must share one dtype/sort domain."""
+    out = np.zeros(len(ids), dtype=np.float64)
+    if len(keys) == 0 or len(ids) == 0:
+        return out
+    pos = np.searchsorted(keys, ids)
+    pos = np.minimum(pos, len(keys) - 1)
+    hit = keys[pos] == ids
+    out[hit] = vals[pos[hit]]
+    return out
+
+
 def token_hash_sets(texts: list[str]) -> list[np.ndarray]:
     """Per-doc sorted unique word-token hash arrays (stateless 64-bit
     hashing replaces the reference's mutable vocab)."""
@@ -53,7 +68,9 @@ def lerch_score(
 
 
 def fast_token_views(
-    text: str, df_of: dict[int, int], n_docs: int,
+    text: str,
+    df_of: "dict[int, int] | tuple[np.ndarray, np.ndarray]",
+    n_docs: int,
     alpha: float = 1.0, beta: float = 1.0,
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Tokenize one document for FaST alignment.
@@ -63,6 +80,10 @@ def fast_token_views(
     token id (stable, so duplicate tokens keep reversed-position
     order). Returns (ids, pos, weights) with
     weight = pos^-alpha * exp(-beta * df/N).
+
+    `df_of` is either a {token_hash: df} dict or the broadcast
+    (sorted uint64 keys, int64 counts) array pair from the DF fit
+    (vectorized searchsorted lookup — the hot path).
     """
     toks = text.split(" ")[::-1]
     if not toks:
@@ -72,9 +93,13 @@ def fast_token_views(
     pos = np.arange(1, len(toks) + 1, dtype=np.int64)
     order = np.argsort(ids, kind="stable")
     ids, pos = ids[order], pos[order]
-    df = np.fromiter(
-        (df_of.get(int(i), 0) for i in ids), dtype=np.float64, count=len(ids)
-    )
+    if isinstance(df_of, tuple):
+        df = df_lookup(ids, df_of[0], df_of[1])
+    else:
+        df = np.fromiter(
+            (df_of.get(int(i), 0) for i in ids),
+            dtype=np.float64, count=len(ids),
+        )
     w = pos.astype(np.float64) ** (-alpha) * np.exp(-beta * df / n_docs)
     return ids, pos, w
 

@@ -118,9 +118,12 @@ class BpeEncoder:
 
 # --- sequence padding (M12) ------------------------------------------
 
-# Special token ids follow the reference's SpecialTokens ordering
-# (PAD/SOS/EOS; ea/sim/main/preprocess/id_coder.py).
-PAD_ID, SOS_ID, EOS_ID = 0, 1, 2
+# Special token ids match the reference's SpecialTokens numbering
+# exactly — PAD=0, UNK=1, SOS=2, EOS=3 (ea/sim/main/preprocess/
+# id_coder.py) — so padded sequences are token-id compatible with the
+# reference framework. UNK is defined for vocabulary coders that need
+# it; the padding coder itself never emits it.
+PAD_ID, UNK_ID, SOS_ID, EOS_ID = 0, 1, 2, 3
 
 
 def pad_sequences_batch(batch, col: str = "seq", max_len: int = 64,

@@ -34,8 +34,11 @@ PAIR_SCHEMA = pa.schema(
 )
 
 
-def _df_fit(sf_dir: str) -> tuple[int, dict[int, int]]:
-    """Corpus document-frequency fit: N and {token_hash: df}.
+def _df_fit(sf_dir: str) -> tuple[int, tuple[np.ndarray, np.ndarray]]:
+    """Corpus document-frequency fit: N and the broadcast-ready
+    (sorted uint64 token hashes, int64 counts) array pair — the same
+    representation the broadcast joins use (~10x smaller than a dict
+    of boxed ints; scorer-side lookups are vectorized searchsorted).
 
     Reference analog: FaST._Index.fit / LerchCrossEncoder.fit
     (fast.py:17-36, lerch.py:22-33) as one distinct-per-doc flat_map +
@@ -95,8 +98,11 @@ def _df_fit(sf_dir: str) -> tuple[int, dict[int, int]]:
     parts = ds.map_batches(partial_df, batch_format="pyarrow").to_pandas()
     agg = parts.groupby("tok", sort=False)["df"].sum()
     keys = agg.index.to_numpy(dtype=np.int64).view(np.uint64)
-    df_of = {int(k): int(v) for k, v in zip(keys, agg.to_numpy())}
-    return n_docs, df_of
+    dfs = agg.to_numpy(dtype=np.int64)
+    # sort in the uint64 domain — the domain token_hash_sets /
+    # fast_token_views search in
+    o = np.argsort(keys)
+    return n_docs, (keys[o], dfs[o])
 
 
 from stack_trace_deduplication_ray.stages.candidates import (
@@ -329,10 +335,9 @@ def lerch_pair_scores(sf_dir: str, k: int = 5):
     """Lerch TF-IDF pair scores, top-k per query doc (SQL-expressible
     -> DuckDB oracle ★). Output (src, dst, score rounded 4)."""
 
-    def builder(n_docs, df_of):
-        idf_of = {
-            t: 1.0 + np.log(n_docs / (d + 1.0)) for t, d in df_of.items()
-        }
+    def builder(n_docs, fit):
+        keys, dfs = fit
+        idf2 = S.idf_lerch(dfs, n_docs) ** 2
 
         def score_pairs(texts_a, texts_b):
             # memoize per distinct text: in-cell scoring passes each
@@ -345,13 +350,11 @@ def lerch_pair_scores(sf_dir: str, k: int = 5):
                     v = cache[t] = S.token_hash_sets([t])[0]
                 return v
 
-            return np.fromiter(
-                (
-                    S.lerch_score(hs(a), hs(b), idf_of)
-                    for a, b in zip(texts_a, texts_b)
-                ),
-                dtype=np.float64, count=len(texts_a),
-            )
+            out = np.empty(len(texts_a), dtype=np.float64)
+            for i, (a, b) in enumerate(zip(texts_a, texts_b)):
+                inter = np.intersect1d(hs(a), hs(b), assume_unique=True)
+                out[i] = S.df_lookup(inter, keys, idf2).sum()
+            return out
 
         return score_pairs
 

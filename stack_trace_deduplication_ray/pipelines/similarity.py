@@ -450,50 +450,6 @@ def ann_recall(
     )
 
 
-def all_near_pairs_exact(sf_dir: str, threshold: float = 0.4):
-    """EXACT all-pairs cosine >= threshold over the embeddings table:
-    each batch scores against the broadcast normalized matrix (the
-    brute-force baseline the ANN path is measured against). Output
-    (src, dst, cos) with src < dst, rounded 4."""
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-    ids_all, mats = [], []
-    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
-        i, m = _emb_matrix(b)
-        ids_all.append(i)
-        mats.append(m)
-    all_ids = np.concatenate(ids_all)
-    order = np.argsort(all_ids)
-    all_ids = all_ids[order]
-    mat = np.concatenate(mats)[order]
-    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-    ref = ray.put((all_ids, mat))
-
-    def score(batch: pa.Table) -> pa.Table:
-        key_ids, m = ray.get(ref)
-        ids, q = _emb_matrix(batch)
-        qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
-        sims = qn @ m.T
-        keep = sims >= threshold
-        # upper triangle only: src < dst by vec_id
-        rows, cols = np.nonzero(keep)
-        src = ids[rows]
-        dst = key_ids[cols]
-        sel = src < dst
-        return pa.table(
-            {
-                "src": pa.array(src[sel].astype(np.int64)),
-                "dst": pa.array(dst[sel].astype(np.int64)),
-                "cos": pa.array(np.round(sims[rows, cols][sel], 4)),
-            }
-        )
-
-    out = ds.map_batches(score, batch_format="pyarrow")
-    return pa.Table.from_pandas(
-        out.to_pandas().sort_values(["src", "dst"]).reset_index(drop=True),
-        preserve_index=False,
-    )
-
-
 def _sampled_knn_label_accuracy(ds, n_queries: int = 512, seed: int = 23):
     """Sampled-path leave-one-out 1-NN accuracy: exact nearest
     neighbor of each seeded probe, computed transposed (corpus
@@ -684,7 +640,17 @@ def ivf_knn(
         batch_size=4096, batch_format="pyarrow"
     ):
         _, m = _emb_matrix(b)
-        mats.append(m)
+        if len(m):
+            mats.append(m)
+    if not mats:
+        # tiny-corpus fallback: smod rounds up, so the hash filter can
+        # select zero rows — take a head sample instead (bias is moot
+        # when the whole corpus is this small)
+        for b in ds.iter_batches(batch_size=4096, batch_format="pyarrow"):
+            _, m = _emb_matrix(b)
+            mats.append(m)
+            if sum(len(x) for x in mats) >= fit_sample:
+                break
     sample = np.concatenate(mats)[:fit_sample].astype(np.float64)
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12

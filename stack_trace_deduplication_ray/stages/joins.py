@@ -154,8 +154,9 @@ def join_ds(
             # first-occurrence mask via a composite 64-bit hash of the
             # dedup key columns — pure numpy (the pandas object-dtype
             # duplicated() this replaces dominated the verify joins).
-            # A 64-bit collision (~1e-19 per pair) can only drop one
-            # redundant candidate row, never corrupt a join.
+            # A collision between two DISTINCT keys (~1e-19 per pair)
+            # drops one real candidate pair before verification — a
+            # potentially missed duplicate, accepted at those odds.
             key = np.zeros(len(lt), dtype=np.uint64)
             for ci, c in enumerate(dedup_left):
                 h = H.hash_ids(

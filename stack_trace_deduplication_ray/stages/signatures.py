@@ -27,9 +27,10 @@ U64 = np.uint64
 # (collapse, candidate shuffle, verify joins, CC) moves 8-byte int64
 # keys instead of Python string objects; the original string id is
 # carried ONLY in the materialized signature table ("orig_id") and
-# restored in run_dedup's final relabel join. Collision odds at n rows
-# are ~n^2/2^65 (1e-8 at 500k; ~1e-4 absolute pair-error rate at 1e9)
-# — for 10^12-row corpora either ship int64 ids natively (passthrough,
+# restored in run_dedup's final relabel join. Birthday odds of >= 1
+# collision at n rows are ~n^2/2^65: ~7e-9 at 500k but ~2.7e-2 at 1e9
+# — a collision silently merges two distinct ids, so string-id corpora
+# past ~1e8 rows should either ship int64 ids natively (passthrough,
 # zero risk) or widen to a 2x int64 (128-bit) key pair.
 IID_SEED = 0x1D17_0B5E
 

@@ -39,8 +39,8 @@ def _brute_topk(sf_dir: str, k: int) -> pd.DataFrame:
     from stack_trace_deduplication_ray.functions import scoring as S
     from stack_trace_deduplication_ray.pipelines.ranking import _df_fit
 
-    n_docs, df_of = _df_fit(sf_dir)
-    idf_of = {t: 1.0 + np.log(n_docs / (d + 1.0)) for t, d in df_of.items()}
+    n_docs, (keys, dfs) = _df_fit(sf_dir)
+    idf_of = {int(t): 1.0 + np.log(n_docs / (d + 1.0)) for t, d in zip(keys, dfs)}
     df = pq.read_table(os.path.join(sf_dir, "documents.parquet")).to_pandas()
     rows = []
     for _, g in df.groupby("source"):
@@ -77,9 +77,11 @@ def test_grid_ranker_equals_brute_force_under_skew(ray_session, tmp_path):
 
     sf = _write_docs(str(tmp_path / "sf"), n=120)
 
-    def builder(n_docs, df_of):
+    def builder(n_docs, fit):
+        keys, dfs = fit
         idf_of = {
-            t: 1.0 + np.log(n_docs / (d + 1.0)) for t, d in df_of.items()
+            int(t): 1.0 + np.log(n_docs / (d + 1.0))
+            for t, d in zip(keys, dfs)
         }
 
         def score_pairs(ta, tb):
@@ -116,7 +118,7 @@ def test_grid_c1_matches_c_many(ray_session, tmp_path):
 
     sf = _write_docs(str(tmp_path / "sf2"), n=90, seed=11)
 
-    def builder(n_docs, df_of):
+    def builder(n_docs, fit):
         def score_pairs(ta, tb):
             # deterministic cheap scorer: shared-token count
             from stack_trace_deduplication_ray.functions import scoring as S

@@ -104,9 +104,11 @@ def test_pad_sequences_ds(ray_session):
     ds = rd.from_arrow(
         pa.table({"seq": pa.array(seqs, type=pa.list_(pa.int64()))})
     )
+    from stack_trace_deduplication_ray.functions.tokenize import EOS_ID, PAD_ID
+
     out = pad_sequences_ds(ds, max_len=8, fixed=True).to_pandas()
     assert all(len(s) == 10 for s in out["seq"])
     # tail-preservation: last real id before EOS == original last id
     for orig, padded in zip(seqs, out["seq"]):
-        body = [t for t in padded[1:] if t not in (0, 2)]
+        body = [t for t in padded[1:] if t not in (PAD_ID, EOS_ID)]
         assert body == orig[-8:]
