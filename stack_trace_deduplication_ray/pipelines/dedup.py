@@ -81,18 +81,28 @@ def _id_map(images_ds):
 
 def _apply_labels_with_names(id_map, labels: dict, cfg: DedupConfig):
     """Driver-CC fast path: cluster assignment AND original-name
-    restore in two shuffle-free map passes over the id map.
+    restore in ONE shuffle-free map pass over the id map.
 
     `labels`: {iid -> root_iid} for every node with >= 1 edge (the
-    driver union-find output). Pass A computes each component's name
-    (MIN original id over its members) as per-batch partial minima
-    merged on the driver — partial volume is bounded by the touched
-    (non-singleton) rows, the same regime that made driver CC
-    applicable. Pass B emits (image_id=orig, cluster_id=name) with
-    singletons labelling themselves. No joins, no exchanges.
+    driver union-find output). The single pass emits
+    (image_id=orig, cluster_id=orig) directly for singletons (they
+    name themselves) and side-channels the TOUCHED rows' (iid, orig)
+    to a driver-owned collector actor — touched volume is bounded by
+    the non-singleton node count, the same driver-sized regime that
+    made driver CC applicable (`labels` already holds one entry per
+    touched node). The driver then computes each component's name
+    (MIN original id over its members) and emits the touched rows as
+    a small from_arrow table unioned with the streamed output.
+
+    This replaces the round-3 two-pass shape (partial-name scan, then
+    emit scan): the parallelism-independent cost of scheduling a full
+    per-block task wave over the id map is paid once, not twice —
+    that fixed cost is what pins the single-box scaling efficiency
+    (BASELINE.md per-phase table). No joins, no exchanges.
     """
     import pandas as pd
     import ray
+    import ray.data as rd
 
     if not labels:
         def identity(batch: pa.Table) -> pa.Table:
@@ -111,59 +121,72 @@ def _apply_labels_with_names(id_map, labels: dict, cfg: DedupConfig):
     keys, roots = keys[order], roots[order]
     ref = ray.put((keys, roots))
 
-    def partial_names(batch: pa.Table) -> pa.Table:
-        k, r = ray.get(ref)
+    @ray.remote(num_cpus=0)
+    class _TouchedCollector:
+        """Accumulates the touched (iid, orig) rows; content is
+        deduplicated by iid at collect time, so map-task retries
+        (which resend identical content) are harmless."""
+
+        def __init__(self):
+            self._iids = []
+            self._origs = []
+
+        def add(self, iids, origs):
+            self._iids.append(iids)
+            self._origs.append(origs)
+
+        def collect(self):
+            if not self._iids:
+                return np.empty(0, np.int64), np.empty(0, object)
+            ii = np.concatenate(self._iids)
+            oo = np.concatenate(self._origs)
+            _, first = np.unique(ii, return_index=True)
+            return ii[first], oo[first]
+
+    collector = _TouchedCollector.remote()
+
+    def emit_singletons(batch: pa.Table) -> pa.Table:
+        k, _ = ray.get(ref)
         iids = batch.column("image_id").to_numpy(zero_copy_only=False)
         pos = np.searchsorted(k, iids)
         pos_c = np.minimum(pos, len(k) - 1)
         hit = k[pos_c] == iids
-        if not hit.any():
-            return pa.table(
-                {
-                    "root": pa.array([], type=pa.int64()),
-                    "name": pa.array([], type=pa.string()),
-                }
-            )
-        sub_root = r[pos_c[hit]]
-        sub_orig = np.asarray(
-            batch.column("orig_id").to_pylist(), dtype=object
-        )[hit]
-        df = pd.DataFrame({"root": sub_root, "name": sub_orig})
-        m = df.groupby("root", sort=False)["name"].min().reset_index()
-        return pa.table(
-            {
-                "root": pa.array(m["root"].to_numpy(), type=pa.int64()),
-                "name": pa.array(list(m["name"]), type=pa.string()),
-            }
-        )
-
-    parts = id_map.map_batches(partial_names, batch_format="pyarrow").to_pandas()
-    names = parts.groupby("root")["name"].min()
-    nroot = np.asarray(names.index.to_numpy(), dtype=np.int64)
-    nname = np.asarray(names.to_numpy(), dtype=object)
-    o = np.argsort(nroot)
-    name_ref = ray.put((keys, roots, nroot[o], nname[o]))
-
-    def emit(batch: pa.Table) -> pa.Table:
-        k, r, nr, nn = ray.get(name_ref)
-        iids = batch.column("image_id").to_numpy(zero_copy_only=False)
-        orig = np.asarray(batch.column("orig_id").to_pylist(), dtype=object)
-        out = orig.copy()
-        pos = np.searchsorted(k, iids)
-        pos_c = np.minimum(pos, len(k) - 1)
-        hit = k[pos_c] == iids
+        orig = batch.column("orig_id")
         if hit.any():
-            root_of = r[pos_c[hit]]
-            npos = np.searchsorted(nr, root_of)
-            out[hit] = nn[npos]
-        return pa.table(
-            {
-                "image_id": pa.array(orig, type=pa.string()),
-                "cluster_id": pa.array(out, type=pa.string()),
-            }
-        )
+            # blocking add: when this map wave completes, every
+            # touched row has landed on the collector
+            ray.get(collector.add.remote(
+                iids[hit],
+                np.asarray(
+                    orig.filter(pa.array(hit)).to_pylist(), dtype=object
+                ),
+            ))
+            orig = orig.filter(pa.array(~hit))
+        return pa.table({"image_id": orig, "cluster_id": orig})
 
-    return id_map.map_batches(emit, batch_format="pyarrow")
+    singles = id_map.map_batches(
+        emit_singletons, batch_format="pyarrow"
+    ).materialize()  # barrier: forces every collector.add to complete
+
+    ii, oo = ray.get(collector.collect.remote())
+    ray.kill(collector)
+    root_of = roots[np.searchsorted(keys, ii)]  # exact hits by construction
+    names = pd.DataFrame({"root": root_of, "name": oo}).groupby(
+        "root", sort=True
+    )["name"].min()
+    nroot = names.index.to_numpy(dtype=np.int64)
+    nname = names.to_numpy()
+    cluster = nname[np.searchsorted(nroot, root_of)]
+    touched = pa.table(
+        {
+            "image_id": pa.array(oo, type=pa.string()),
+            "cluster_id": pa.array(cluster, type=pa.string()),
+        }
+    )
+    # chunk the driver-built table so no single block is outsized
+    step = 262_144
+    chunks = [touched.slice(i, step) for i in range(0, max(len(touched), 1), step)]
+    return singles.union(rd.from_arrow(chunks))
 
 
 def _restore_names(clusters_int, id_map, cfg: DedupConfig):
