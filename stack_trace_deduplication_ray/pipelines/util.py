@@ -36,6 +36,11 @@ def ensure_schema(ds, schema: pa.Schema):
     Small results are converted to an Arrow table with the declared
     schema; non-empty results pass through as the Dataset.
     """
+    # materialize ONCE: the count() below otherwise executes the whole
+    # lazy pipeline and still hands the caller a lazy dataset whose
+    # next consumption re-executes it all over again (results at this
+    # point are query outputs — small by construction)
+    ds = ds.materialize()
     cnt = ds.count()
     if cnt == 0:
         return schema.empty_table()
