@@ -55,6 +55,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_text_clusters": text.simhash_text_clusters,
         "jaccard_pairs_by_source": text.jaccard_pairs_by_source,
         "substring_candidate_pairs": text.substring_candidate_pairs,
+        "substring_pairs_exact": text.substring_pairs_exact,
         "report_dedup_clusters": text.report_dedup_clusters,
         "cross_segment_new_docs": text.cross_segment_new_docs,
         # --- classic rankers (Lerch TF-IDF / FaST alignment) ----------
@@ -75,6 +76,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_sessionize": relational.events_sessionize,
         "events_prev_same_type": relational.events_prev_same_type,
         "events_replay_attach": relational.events_replay_attach,
+        "events_replay_windowed": relational.events_replay_windowed,
         "systematic_sample": relational.systematic_sample,
         "normalized_texts": relational.normalized_texts,
         "lineitem_pricing_summary": relational.lineitem_pricing_summary,
@@ -264,6 +266,53 @@ def oracle_sql() -> dict[str, str]:
                        ) AS issue_id
                 FROM events
             )
+        """,
+        "substring_pairs_exact": """
+            WITH d AS (
+                SELECT doc_id,
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+                FROM documents
+            ), g AS (
+                SELECT DISTINCT doc_id, substring(t, CAST(i AS INT), 39) AS gram
+                FROM d, UNNEST(generate_series(1, length(t) - 38)) AS u(i)
+                WHERE length(t) >= 39
+            )
+            SELECT DISTINCT a.doc_id AS src, b.doc_id AS dst
+            FROM g a JOIN g b USING (gram)
+            WHERE a.doc_id < b.doc_id
+        """,
+        "events_replay_windowed": """
+            WITH o AS (
+                SELECT event_id, event_type, props, ts,
+                       lag(ts) OVER (
+                           PARTITION BY event_type, props
+                           ORDER BY ts, event_id
+                       ) AS prev_ts
+                FROM events
+            ), f AS (
+                SELECT *,
+                       CASE WHEN prev_ts IS NULL
+                                 OR ts - prev_ts > INTERVAL 240 MINUTE
+                            THEN 1 ELSE 0 END AS is_new_i
+                FROM o
+            ), s AS (
+                SELECT *,
+                       sum(is_new_i) OVER (
+                           PARTITION BY event_type, props
+                           ORDER BY ts, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW
+                       ) AS sess
+                FROM f
+            )
+            SELECT event_id,
+                   first_value(event_id) OVER (
+                       PARTITION BY event_type, props, sess
+                       ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS issue_id,
+                   CAST(is_new_i AS BIGINT) AS is_new
+            FROM s
         """,
         "events_prev_same_type": """
             SELECT event_id, prev_event_id FROM (

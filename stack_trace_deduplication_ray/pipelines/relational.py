@@ -420,6 +420,75 @@ def events_replay_attach(sf_dir: str):
     )
 
 
+def events_replay_windowed(sf_dir: str, forget_minutes: int = 240):
+    """Windowed chronological replay: the attach-or-open protocol of
+    `events_replay_attach` composed with the T12 forget window — an
+    issue FORGETS members older than the window, so an event attaches
+    to the live issue only when the issue's most recent member is
+    within `forget_minutes`, and otherwise OPENS a new issue
+    (reference ReportTimeIssueSelector.forget_days,
+    /root/reference/ea/sim/main/data/buckets/issues_selector.py:31-48,
+    composed with the replay model of event_state_model.py:106-121).
+
+    issue_id = event_id of the event that opened the live session
+    (the first member in (ts, event_id) order); is_new = 1 iff this
+    event opened it. Hash-partitioned on the (event_type, props) key,
+    vectorized gap / cumsum / session-first inside each partition.
+    SQL-expressible (lag + windowed cumulative sum + first_value) ->
+    DuckDB oracle ★.
+
+    Output (event_id, issue_id, is_new).
+    """
+    from stack_trace_deduplication_ray.functions import hashing as H
+    from stack_trace_deduplication_ray.stages.joins import partitioned_groups
+
+    ds = read_table(
+        sf_dir, "events", columns=["event_id", "event_type", "props", "ts"]
+    )
+
+    def key(batch: pa.Table) -> pa.Table:
+        et = batch.column("event_type").to_pylist()
+        pr = batch.column("props").to_pylist()
+        k = H.hash_bytes_arrays(
+            np.asarray([f"{a}\x1f{b}" for a, b in zip(et, pr)], dtype=object),
+            seed=0x5E51,
+        )
+        return batch.append_column("rkey", pa.array(k.view(np.int64)))
+
+    keyed = ds.map_batches(key, batch_format="pyarrow")
+    window_ns = np.int64(forget_minutes) * 60 * 1_000_000_000
+
+    def attach(part: pd.DataFrame) -> pd.DataFrame:
+        g = part.sort_values(
+            ["event_type", "props", "ts", "event_id"], kind="stable"
+        )
+        ts = g["ts"].to_numpy().astype("datetime64[ns]").view(np.int64)
+        eid = g["event_id"].to_numpy().astype(np.int64)
+        key_change = np.ones(len(g), dtype=bool)
+        et = g["event_type"].to_numpy()
+        pr = g["props"].to_numpy()
+        key_change[1:] = (et[1:] != et[:-1]) | (pr[1:] != pr[:-1])
+        gap = np.empty(len(g), dtype=np.int64)
+        gap[0] = 0
+        gap[1:] = ts[1:] - ts[:-1]
+        is_new = key_change | (gap > window_ns)
+        first_idx = np.nonzero(is_new)[0]
+        sess = np.cumsum(is_new) - 1
+        issue = eid[first_idx[sess]]
+        return pd.DataFrame(
+            {
+                "event_id": eid,
+                "issue_id": issue,
+                "is_new": is_new.astype(np.int64),
+            }
+        )
+
+    return partitioned_groups(
+        keyed.select_columns(["rkey", "event_type", "props", "ts", "event_id"]),
+        "rkey", attach, sized_cfg(sf_dir, "events"),
+    )
+
+
 def systematic_sample(sf_dir: str, modulus: int = 10):
     """Deterministic systematic sample: doc_id % modulus == 0
     (K6 sampling analog with an exactly SQL-matchable rule)."""

@@ -423,6 +423,45 @@ def substring_candidate_pairs(sf_dir: str, cfg: DedupConfig = TEXT_DEDUP_CONFIG)
     )
 
 
+def substring_pairs_exact(sf_dir: str, cfg: DedupConfig = TEXT_DEDUP_CONFIG):
+    """Exact repeated-substring pair mining with a closed-form
+    contract: pairs of documents whose NORMALIZED texts share a
+    substring of >= L + window - 1 chars (39 at the default (32, 8)
+    config). Winnowing's guarantee (expand.winnow_fingerprints:
+    strings sharing a >= L+window-1 substring share a fingerprint)
+    makes the bucket pass a COMPLETE candidate generator at that
+    length, and the verify here re-checks an exact shared
+    (L+window-1)-gram — so the result set is EXACTLY the SQL
+    self-join on extracted grams of the whitespace-normalized text
+    (DuckDB oracle ★). `substring_candidate_pairs` keeps the looser
+    >= L semantics, which is guarantee-gapped in [L, L+window-2] and
+    therefore rows-only. Output (src, dst) doc ids, src < dst."""
+    import dataclasses
+
+    from stack_trace_deduplication_ray.stages import candidates as cand
+    from stack_trace_deduplication_ray.stages import expand as ex
+    from stack_trace_deduplication_ray.stages import verify as ver
+    from stack_trace_deduplication_ray.stages.signatures import text_signature_stage
+
+    cfg = sized_cfg(sf_dir, "documents", cfg)
+    docs = _docs_as_engine_input(sf_dir)
+    sigs = text_signature_stage(docs, cfg).materialize()
+    e, _ = cand.pairs_from_buckets(ex.expand_substring(sigs, cfg), "substring", cfg)
+    # verify at the guarantee length: candidates are complete there
+    cfg_v = dataclasses.replace(
+        cfg, substring_min_len=cfg.substring_min_len + cfg.winnow_window - 1
+    )
+    verified = ver.verify_substring(e.materialize(), sigs, cfg_v)
+
+    def conv(batch: pa.Table) -> pa.Table:
+        return batch.select(["src", "dst"])
+
+    return ensure_schema(
+        verified.map_batches(conv, batch_format="pyarrow"),
+        pa.schema([("src", pa.int64()), ("dst", pa.int64())]),
+    )
+
+
 def report_dedup_clusters(sf_dir: str):
     """Raw V1/V0 JSON report ingestion -> dedup clusters end-to-end
     (S3/S4 source operators + the text engine): a deterministic raw
