@@ -321,22 +321,30 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
         )
 
     if expansions:
-        def thunk():
+        def cand_thunk():
             # sigs is materialized -> count() is metadata-cheap; drives
             # the hot-detect sampling modulus (rows/1e5 auto-scale)
-            cand_edges, st = cand.fused_pairs_from_buckets(
+            ce, st = cand.fused_pairs_from_buckets(
                 expansions, cfg, approx_rows=sigs.count()
             )
-            thunk.stats = st
+            cand_thunk.stats = st
             # candidate edges are small (pairs, not rows) — materialize
             # so the verify graph does not re-execute the expansion +
             # pair shuffle lineage
-            return ver.verify_fused(
-                cand_edges.materialize(), sigs, cfg, has_image
-            ).materialize()
+            return ce.materialize()
 
-        verified = checkpointed("verified_edges", thunk)
-        stats.append(getattr(thunk, "stats", {"stage": "fused"}))
+        # candidate edges are checkpointed under their OWN dependency
+        # fingerprint (state.checkpoint.STAGE_DEPENDS): a verify-only
+        # threshold change resumes from them and re-runs verify alone
+        cand_edges = checkpointed("candidate_edges", cand_thunk)
+        stats.append(getattr(cand_thunk, "stats", {"stage": "fused"}))
+
+        verified = checkpointed(
+            "verified_edges",
+            lambda: ver.verify_fused(
+                cand_edges, sigs, cfg, has_image
+            ).materialize(),
+        )
         edges = exact_edges.union(verified)
     else:
         edges = exact_edges
@@ -373,10 +381,13 @@ def run_dedup(
         from stack_trace_deduplication_ray.state.checkpoint import (
             StageCheckpoint,
             config_fingerprint,
+            stage_fingerprints,
         )
 
         ckpt = StageCheckpoint(
-            checkpoint_dir, config_fingerprint(cfg, input_id)
+            checkpoint_dir,
+            config_fingerprint(cfg, input_id),
+            stage_fps=stage_fingerprints(cfg, input_id),
         )
     if (
         ckpt is not None
@@ -392,14 +403,26 @@ def run_dedup(
         stats = []
         sigs = None
     else:
-        sigs = (
-            signature_stage(images_ds, cfg)
-            if has_image
-            else text_signature_stage(images_ds, cfg)
-        )
+        def sig_thunk():
+            s = (
+                signature_stage(images_ds, cfg)
+                if has_image
+                else text_signature_stage(images_ds, cfg)
+            )
+            return s.materialize()
+
         # signatures are re-read by several stages — materialize once
-        # (bytes are NOT in this table).
-        sigs = sigs.materialize()
+        # (bytes are NOT in this table). With a checkpoint dir they are
+        # also persisted (the T7/T8 columnar-cache pattern): a config
+        # change that only touches later stages resumes from the
+        # signature parquet instead of re-decoding the corpus.
+        if ckpt is not None:
+            sigs, loaded = ckpt.run_or_load("signatures", sig_thunk)
+            if loaded:
+                logger.info("stage signatures: loaded from checkpoint")
+            sigs = sigs.materialize()
+        else:
+            sigs = sig_thunk()
         # corpus size AND block count are now metadata-cheap: gate the
         # exchange coalesce for everything downstream on both (the
         # signature actor pool fans small corpora out over many blocks

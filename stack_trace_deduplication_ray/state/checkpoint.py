@@ -42,6 +42,57 @@ def config_fingerprint(cfg: DedupConfig, extra: str = "") -> str:
 _EDGE_SPACE_VERSION = "idspace-v3-int64"
 
 
+# Config fields each checkpointed stage's OUTPUT depends on. Execution
+# knobs (batch sizes, partition counts, coalesce gates, broadcast
+# limits, driver_cc_max_edges) never appear: they change HOW a stage
+# runs, not WHAT it produces. This is the engine's answer to the
+# reference's nearest-earlier checkpoint warmup (bucket_data.py:49-69):
+# instead of replaying forward from the closest compatible snapshot, a
+# config change invalidates exactly the stages whose dependency set it
+# touches — changing a verify-only threshold reuses the signature,
+# exact-edge and candidate checkpoints and recomputes verify alone.
+_CAND_FIELDS = (
+    "lowercase", "shingle_k", "num_perm", "minhash_seed", "bands",
+    "rows_per_band", "simhash_mode", "simhash_chunks",
+    "simhash_combo_sub", "simhash_combo_r",
+    "simhash_wide_threshold_rows", "substring_min_len", "winnow_window",
+    "bucket_cap", "salt_target", "hot_sample_mod", "stages",
+)
+STAGE_DEPENDS: dict[str, tuple[str, ...]] = {
+    "signatures": (
+        "lowercase", "shingle_k", "num_perm", "minhash_seed",
+        "bands", "rows_per_band",
+    ),
+    "exact_edges": ("lowercase", "stages"),
+    "candidate_edges": _CAND_FIELDS,
+    "verified_edges": _CAND_FIELDS
+    + ("jaccard_threshold", "hamming_radius", "psnr_threshold_db"),
+}
+
+
+def stage_fingerprint(cfg: DedupConfig, stage: str, extra: str = "") -> str:
+    """Fingerprint of only the config fields `stage`'s output depends
+    on (STAGE_DEPENDS) + the input identifier. Stages without a
+    declared dependency set fall back to the full-config fingerprint
+    (conservative)."""
+    import hashlib
+
+    fields = STAGE_DEPENDS.get(stage)
+    if fields is None:
+        return config_fingerprint(cfg, extra)
+    sub = {f: getattr(cfg, f) for f in fields}
+    payload = (
+        json.dumps(sub, sort_keys=True, default=str)
+        + "|" + _EDGE_SPACE_VERSION + "|" + stage + "|" + extra
+    )
+    return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def stage_fingerprints(cfg: DedupConfig, extra: str = "") -> dict[str, str]:
+    """Per-stage fingerprints for every declared stage."""
+    return {s: stage_fingerprint(cfg, s, extra) for s in STAGE_DEPENDS}
+
+
 class StageCheckpoint:
     """Directory-backed stage checkpoint store.
 
@@ -50,9 +101,19 @@ class StageCheckpoint:
         <root>/<stage>/part-*.parquet    the stage's output table
     """
 
-    def __init__(self, root: str, fingerprint: str):
+    def __init__(
+        self,
+        root: str,
+        fingerprint: str,
+        stage_fps: dict[str, str] | None = None,
+    ):
         self.root = root
         self.fingerprint = fingerprint
+        # per-stage fingerprints (stage_fingerprints(cfg, input)): a
+        # stage listed here validates against ITS dependency-set
+        # fingerprint instead of the global one, so unrelated config
+        # changes keep its checkpoint warm
+        self.stage_fps = stage_fps or {}
         os.makedirs(root, exist_ok=True)
         self._manifest_path = os.path.join(root, "manifest.json")
         self._manifest = self._load_manifest()
@@ -73,11 +134,14 @@ class StageCheckpoint:
             json.dump(self._manifest, f, indent=1, sort_keys=True)
         os.replace(tmp, self._manifest_path)
 
+    def _fp(self, stage: str) -> str:
+        return self.stage_fps.get(stage, self.fingerprint)
+
     def has(self, stage: str) -> bool:
         entry = self._manifest.get(stage)
         return (
             entry is not None
-            and entry.get("fingerprint") == self.fingerprint
+            and entry.get("fingerprint") == self._fp(stage)
             and os.path.isdir(os.path.join(self.root, stage))
         )
 
@@ -102,7 +166,7 @@ class StageCheckpoint:
         rows = ds.count()
         with self._lock:
             self._manifest[stage] = {
-                "fingerprint": self.fingerprint,
+                "fingerprint": self._fp(stage),
                 "rows": rows,
                 "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }

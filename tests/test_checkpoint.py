@@ -84,6 +84,41 @@ def test_pipeline_resume_identical_clusters(ray_session, small_fixture_dir, tmp_
         assert man2[k]["completed_at"] == man1[k]["completed_at"]
 
 
+def test_verify_only_knob_warm_resume(ray_session, small_fixture_dir, tmp_path):
+    """Dependency-precise warmup (reference nearest-earlier analog,
+    bucket_data.py:49-69): changing a verify-only threshold must keep
+    the signature, exact-edge and candidate checkpoints warm (loaded,
+    manifest rows untouched) and recompute ONLY the verify stage."""
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.pipelines.dedup import run_dedup
+
+    images = rd.read_parquet(f"{small_fixture_dir}/images.parquet")
+    ckdir = str(tmp_path / "ck")
+    r1 = run_dedup(images, DedupConfig(), checkpoint_dir=ckdir, input_id="warm")
+    c1 = r1["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
+    man1 = json.load(open(os.path.join(ckdir, "manifest.json")))
+    assert set(man1) >= {
+        "signatures", "exact_edges", "candidate_edges", "verified_edges"
+    }
+
+    # verify-only knob: PSNR threshold (same accept set on this
+    # fixture, so clusters must also be identical)
+    cfg2 = DedupConfig(psnr_threshold_db=39.5)
+    r2 = run_dedup(images, cfg2, checkpoint_dir=ckdir, input_id="warm")
+    c2 = r2["clusters"].to_pandas().sort_values("image_id").reset_index(drop=True)
+    assert c1.equals(c2)
+    man2 = json.load(open(os.path.join(ckdir, "manifest.json")))
+    for stage in ("signatures", "exact_edges", "candidate_edges"):
+        assert man2[stage]["completed_at"] == man1[stage]["completed_at"], stage
+        assert man2[stage]["fingerprint"] == man1[stage]["fingerprint"], stage
+    # verify re-ran under its own (changed) dependency fingerprint
+    assert (
+        man2["verified_edges"]["fingerprint"]
+        != man1["verified_edges"]["fingerprint"]
+    )
+
+
 def test_partial_crash_resume(ray_session, small_fixture_dir, tmp_path):
     """Crash simulation: after a full run, invalidate ONLY the
     verified_edges stage (as if the job died mid-verify on a retry);
