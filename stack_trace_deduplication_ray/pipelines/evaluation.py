@@ -78,12 +78,31 @@ def _sampled_first_correct_ranks(
     ranks = np.zeros(len(q_ids), dtype=np.int64)
     top_score = np.full(len(q_ids), -np.inf)
     top1 = np.zeros(len(q_ids), dtype=np.int64)
-    for qi, g in parts.groupby("q"):
-        g = g.sort_values(["cos", "cand_id"], ascending=[False, True]).head(k)
-        match = (g["cand_lab"].to_numpy() == q_lab[qi]).astype(bool)
-        ranks[qi] = int(match.argmax()) + 1 if match.any() else 0
-        top_score[qi] = float(g["cos"].iloc[0])
-        top1[qi] = int(match[0]) if len(match) else 0
+    if len(parts):
+        # vectorized per-query top-k merge: one global lexsort by
+        # (q, -cos, cand_id), positions within each q-run, first
+        # match among the k kept rows (replaces the per-group pandas
+        # loop — bounded by the probe sample, but free to vectorize)
+        q = parts["q"].to_numpy()
+        cos = parts["cos"].to_numpy()
+        cid = parts["cand_id"].to_numpy()
+        lab = parts["cand_lab"].to_numpy()
+        o = np.lexsort((cid, -cos, q))
+        qs, cos_s, lab_s = q[o], cos[o], lab[o]
+        first_of_q = np.ones(len(qs), dtype=bool)
+        first_of_q[1:] = qs[1:] != qs[:-1]
+        start = np.nonzero(first_of_q)[0]
+        grp = np.cumsum(first_of_q) - 1
+        pos = np.arange(len(qs)) - start[grp]
+        match = lab_s == q_lab[qs]
+        top_score[qs[first_of_q]] = cos_s[first_of_q]
+        top1[qs[first_of_q]] = match[first_of_q].astype(np.int64)
+        sel = (pos < k) & match
+        if sel.any():
+            qsel, psel = qs[sel], pos[sel]
+            fsel = np.ones(len(qsel), dtype=bool)
+            fsel[1:] = qsel[1:] != qsel[:-1]
+            ranks[qsel[fsel]] = psel[fsel] + 1
     import ray.data as rd
 
     return rd.from_arrow(
