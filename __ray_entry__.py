@@ -189,6 +189,37 @@ def oracle_sql() -> dict[str, str]:
         "fingerprints": """
             SELECT doc_id, md5(text) AS fp FROM documents
         """,
+        "language_id": """
+            WITH d AS (
+                SELECT DISTINCT doc_id, tok FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                    FROM documents
+                )
+            ), h AS (
+                SELECT doc_id,
+                    count(*) FILTER (WHERE tok IN
+                        ('der','die','das','und','ist')) AS de,
+                    count(*) FILTER (WHERE tok IN
+                        ('the','and','of','a','to','fast','slow')) AS en,
+                    count(*) FILTER (WHERE tok IN
+                        ('el','la','de','y','que')) AS es,
+                    count(*) FILTER (WHERE tok IN
+                        ('le','la','et','de','un')) AS fr,
+                    count(*) FILTER (WHERE tok IN
+                        ('的','是','了','在')) AS zh
+                FROM d GROUP BY doc_id
+            )
+            SELECT doc_id,
+                CASE WHEN greatest(de,en,es,fr,zh) = 0 THEN 'unknown'
+                     WHEN de >= en AND de >= es AND de >= fr
+                          AND de >= zh THEN 'de'
+                     WHEN en >= es AND en >= fr AND en >= zh THEN 'en'
+                     WHEN es >= fr AND es >= zh THEN 'es'
+                     WHEN fr >= zh THEN 'fr'
+                     ELSE 'zh' END AS lang_pred,
+                greatest(de,en,es,fr,zh) AS marker_hits
+            FROM h
+        """,
         "padded_sequences": """
             WITH s AS (
                 SELECT doc_id,

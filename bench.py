@@ -222,6 +222,8 @@ def run_scaling(record: bool) -> dict:
         "t_num_cpus_32_sec": t32,
         "throughput_8": results[8]["images_per_sec"],
         "throughput_32": results[32]["images_per_sec"],
+        "recall_8": results[8].get("dup_pair_recall"),
+        "recall_32": results[32].get("dup_pair_recall"),
         "rows": results[32]["rows"],
         "sf": SF_DIR,
     }
