@@ -93,6 +93,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- ranked-prediction evaluator battery ----------------------
         "retrieval_rank_metrics": evaluation.retrieval_rank_metrics,
         "retrieval_threshold_metrics": evaluation.retrieval_threshold_metrics,
+        "threshold_fbeta_auc": evaluation.threshold_fbeta_auc,
+        "bootstrap_acc1_ci": evaluation.bootstrap_acc1_ci,
         # --- two-stage retrieve-then-rerank serving pipeline ----------
         "retrieve_rerank_metrics": rerank.retrieve_rerank_metrics,
         "mock_rerank_metrics": rerank.mock_rerank_metrics,
@@ -163,6 +165,68 @@ def oracle_sql() -> dict[str, str]:
                 SELECT src, dst, score, row_number() OVER (
                     PARTITION BY src ORDER BY score DESC, dst ASC
                 ) AS rn FROM pairs
+            )
+            SELECT src, dst, score FROM ranked WHERE rn <= 5
+        """,
+        "fast_pair_scores": """
+            -- FaST positional alignment (P1/P2): tokens reversed
+            -- (deepest frame first), weight = pos^-1 * exp(-df/N);
+            -- the two-pointer merge over id-sorted streams matches the
+            -- k-th occurrence of each shared token in both docs, adds
+            -- (w_a+w_b)*exp(-|pos_a-pos_b|) for matches, subtracts w
+            -- for every unmatched occurrence, and normalizes by total
+            -- weight. Pair set = same-source docs sharing >= 1 token,
+            -- per-src top-5 by (score desc, dst asc).
+            WITH n AS (SELECT count(*) AS n_docs FROM documents),
+            tokpos AS (
+                SELECT doc_id, source, u['t'] AS t,
+                       array_length(string_split(text, ' '))
+                           - u['ord'] + 1 AS pos
+                FROM (
+                    SELECT doc_id, source, text,
+                           unnest(list_transform(
+                               string_split(text, ' '),
+                               (x, i) -> {'t': x, 'ord': i})) AS u
+                    FROM documents
+                )
+            ),
+            df AS (
+                SELECT t, count(DISTINCT doc_id) AS df
+                FROM tokpos GROUP BY t
+            ),
+            tv AS (
+                SELECT p.doc_id, p.source, p.t, p.pos,
+                       row_number() OVER (
+                           PARTITION BY p.doc_id, p.t ORDER BY p.pos
+                       ) AS k,
+                       pow(p.pos, -1.0)
+                           * exp(-1.0 * df.df
+                                 / (SELECT n_docs FROM n)) AS w
+                FROM tokpos p JOIN df USING (t)
+            ),
+            sw AS (SELECT doc_id, sum(w) AS tot FROM tv GROUP BY doc_id),
+            m AS (
+                SELECT ta.doc_id AS src, tb.doc_id AS dst,
+                       sum((ta.w + tb.w)
+                           * exp(-1.0 * abs(ta.pos - tb.pos))) AS msum,
+                       sum(ta.w + tb.w) AS mw
+                FROM tv ta
+                JOIN tv tb ON tb.source = ta.source AND tb.t = ta.t
+                          AND tb.k = ta.k AND ta.doc_id < tb.doc_id
+                GROUP BY ta.doc_id, tb.doc_id
+            ),
+            scored AS (
+                SELECT m.src, m.dst,
+                       round((m.msum - (sa.tot + sb.tot - m.mw))
+                             / (sa.tot + sb.tot), 4) AS score
+                FROM m
+                JOIN sw sa ON sa.doc_id = m.src
+                JOIN sw sb ON sb.doc_id = m.dst
+            ),
+            ranked AS (
+                SELECT src, dst, score, row_number() OVER (
+                    PARTITION BY src ORDER BY score DESC, dst ASC
+                ) AS rn FROM scored
             )
             SELECT src, dst, score FROM ranked WHERE rn <= 5
         """,
@@ -456,6 +520,154 @@ def oracle_sql() -> dict[str, str]:
                    round(avg(CASE WHEN r IS NOT NULL THEN 1.0 / r
                                   ELSE 0.0 END), 4) AS mrr10
             FROM firsts
+        """,
+        "threshold_fbeta_auc": """
+            -- evaluator battery, SQL-expressible half (A6/A7): best
+            -- F-beta over every threshold + rank-sum ROC-AUC with
+            -- average tie ranks, over (top-1 cosine, top-1 label
+            -- match). Scores quantized to 4 decimals on both engines
+            -- so the threshold boundary set is identical.
+            WITH sims AS (
+                SELECT a.vec_id AS q, a.label AS ql, b.label AS cl,
+                       list_cosine_similarity(a.embedding, b.embedding)
+                           AS cos,
+                       b.vec_id AS c
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id != b.vec_id
+            ),
+            tops AS (
+                SELECT q, round(cos, 4) AS s,
+                       CASE WHEN cl = ql THEN 1 ELSE 0 END AS y
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY q ORDER BY cos DESC, c ASC
+                      ) AS rn FROM sims)
+                WHERE rn = 1
+            ),
+            n AS (SELECT count(*) AS cnt, sum(y) AS npos FROM tops),
+            ranked AS (
+                SELECT s, y,
+                       row_number() OVER (ORDER BY s DESC) AS rid
+                FROM tops
+            ),
+            cum AS (
+                SELECT s,
+                       sum(y) OVER (ORDER BY s DESC, rid) AS tp,
+                       sum(1 - y) OVER (ORDER BY s DESC, rid) AS fp
+                FROM ranked
+            ),
+            conf AS (
+                SELECT s AS t, max(tp) AS tp, max(fp) AS fp
+                FROM cum GROUP BY s
+            ),
+            fb AS (
+                SELECT b.lbl, c.t,
+                       CASE WHEN (1 + b.b2) * c.tp + c.fp
+                                 + b.b2 * ((SELECT npos FROM n) - c.tp)
+                                 > 0
+                            THEN (1 + b.b2) * c.tp
+                                 / ((1 + b.b2) * c.tp + c.fp
+                                    + b.b2 * ((SELECT npos FROM n)
+                                              - c.tp))
+                            ELSE 0.0 END AS f
+                FROM conf c
+                CROSS JOIN (VALUES ('0.25', 0.0625), ('0.5', 0.25),
+                                   ('1.0', 1.0), ('2.0', 4.0),
+                                   ('3.0', 9.0)) AS b(lbl, b2)
+            ),
+            best AS (
+                SELECT lbl, f, t FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY lbl ORDER BY f DESC, t DESC
+                    ) AS rn FROM fb)
+                WHERE rn = 1
+            ),
+            rr AS (
+                SELECT y, avg(rn) OVER (PARTITION BY s) AS ar
+                FROM (SELECT s, y,
+                             row_number() OVER (ORDER BY s ASC) AS rn
+                      FROM tops)
+            ),
+            auc AS (
+                SELECT (sum(CASE WHEN y = 1 THEN ar END)
+                        - (SELECT npos FROM n)
+                          * ((SELECT npos FROM n) + 1) / 2.0)
+                       / ((SELECT npos FROM n)
+                          * ((SELECT cnt FROM n)
+                             - (SELECT npos FROM n))) AS v
+                FROM rr
+                WHERE (SELECT npos FROM n) > 0
+                  AND (SELECT npos FROM n) < (SELECT cnt FROM n)
+            )
+            SELECT 'f' || lbl AS metric, round(f, 4) AS value FROM best
+            UNION ALL
+            SELECT 'f' || lbl || '_threshold', round(t, 4) FROM best
+            UNION ALL
+            SELECT 'roc_auc', round(v, 4) FROM auc
+        """,
+        "bootstrap_acc1_ci": """
+            -- percentile bootstrap CI of Accuracy@1 (A8) with the
+            -- deterministic Lehmer-LCG resampler (two MINSTD rounds;
+            -- all intermediates < 2^47 so BIGINT math is exact and
+            -- identical to the numpy int64 path). CI bounds are
+            -- DISCRETE order statistics of the per-iteration success
+            -- SUMS (ranks 3 and 98 of 100), and every ratio is
+            -- rounded half-up via pure integer arithmetic
+            -- ((num*20000 + den) // (2*den) / 10000.0) so the result
+            -- is exact-int64 end to end -- no float quantile
+            -- interpolation that could round differently per engine.
+            WITH sims AS (
+                SELECT a.vec_id AS q, a.label AS ql, b.label AS cl,
+                       list_cosine_similarity(a.embedding, b.embedding)
+                           AS cos,
+                       b.vec_id AS c
+                FROM embeddings a JOIN embeddings b
+                  ON a.vec_id != b.vec_id
+            ),
+            tops AS (
+                SELECT q, CASE WHEN cl = ql THEN 1 ELSE 0 END AS y
+                FROM (SELECT *, row_number() OVER (
+                          PARTITION BY q ORDER BY cos DESC, c ASC
+                      ) AS rn FROM sims)
+                WHERE rn = 1
+            ),
+            ord AS (
+                SELECT y, row_number() OVER (ORDER BY q) - 1 AS idx
+                FROM tops
+            ),
+            n AS (SELECT count(*) AS cnt FROM ord),
+            draws AS (
+                -- draw index j ranges over 0..n-1 = ord.idx itself
+                -- (generate_series can't take a subquery bound here)
+                SELECT i.i,
+                       (((((i.i * 1000003 + j.idx) % 2147483646 + 1)
+                          * 48271 % 2147483647)
+                         * 48271 % 2147483647))
+                       % (SELECT cnt FROM n) AS pick
+                FROM generate_series(0, 99) AS i(i), ord AS j
+            ),
+            sums AS (
+                SELECT d.i, sum(o.y) AS s
+                FROM draws d JOIN ord o ON o.idx = d.pick
+                GROUP BY d.i
+            ),
+            ranked AS (
+                SELECT s, row_number() OVER (ORDER BY s) AS rk
+                FROM sums
+            )
+            SELECT 'acc1_mean' AS metric,
+                   ((sum(y) * 20000 + (SELECT cnt FROM n))
+                    // (2 * (SELECT cnt FROM n))) / 10000.0 AS value
+            FROM ord
+            UNION ALL
+            SELECT 'acc1_ci_lo',
+                   ((s * 20000 + (SELECT cnt FROM n))
+                    // (2 * (SELECT cnt FROM n))) / 10000.0
+            FROM ranked WHERE rk = 3
+            UNION ALL
+            SELECT 'acc1_ci_hi',
+                   ((s * 20000 + (SELECT cnt FROM n))
+                    // (2 * (SELECT cnt FROM n))) / 10000.0
+            FROM ranked WHERE rk = 98
         """,
         "same_label_near_pairs": """
             SELECT a.vec_id AS src, b.vec_id AS dst,

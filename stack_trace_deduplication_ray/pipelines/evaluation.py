@@ -10,7 +10,11 @@ queries over the embeddings table:
 - retrieval_threshold_metrics: the attach-vs-new battery — y_true =
   1-NN label match, y_score = top cosine — through the F-beta
   threshold sweep, rank-sum ROC-AUC and the bootstrap CI of Accuracy@1
-  (seeded -> deterministic; not SQL-expressible -> rows-only).
+  (reference-shaped seeded np RNG -> rows-only).
+- threshold_fbeta_auc ★: the SQL-expressible half of that battery
+  (sweep + AUC on 4-decimal-quantized scores, DuckDB oracle).
+- bootstrap_acc1_ci ★: the bootstrap CI with a deterministic
+  Lehmer-LCG resampler both engines reproduce bit-for-bit.
 
 Both run the brute-force scoring shape (batch x broadcast matrix):
 this is the EVALUATION path, intentionally exact; the retrieval scale
@@ -108,6 +112,7 @@ def _sampled_first_correct_ranks(
     return rd.from_arrow(
         pa.table(
             {
+                "q": pa.array(q_ids.astype(np.int64)),
                 "rank": pa.array(ranks),
                 "top_score": pa.array(top_score),
                 "top1_match": pa.array(top1),
@@ -172,6 +177,7 @@ def _first_correct_ranks(
         top_score = np.take_along_axis(sims, order[:, :1], axis=1).ravel()
         return pa.table(
             {
+                "q": pa.array(ids.astype(np.int64)),
                 "rank": pa.array(first.astype(np.int64)),
                 "top_score": pa.array(top_score),
                 "top1_match": pa.array(match[:, 0].astype(np.int64)),
@@ -240,3 +246,92 @@ def retrieval_threshold_metrics(sf_dir: str):
     out["acc1_ci_lo"] = lo
     out["acc1_ci_hi"] = hi
     return metrics_table({k: round(v, 6) for k, v in out.items()})
+
+
+def threshold_fbeta_auc(sf_dir: str):
+    """The SQL-expressible half of the evaluator battery as a
+    hash-checkable ★ query: best F-beta (betas 0.25/0.5/1/2/3) over
+    every score threshold + rank-sum ROC-AUC with average tie ranks,
+    over the attach-vs-new signal (y = top-1 label match, score =
+    top-1 cosine).
+
+    Scores are QUANTIZED to 4 decimals on BOTH engines before the
+    sweep so the threshold boundary set is bit-identical between the
+    numpy path and the DuckDB oracle (F values are then exact integer
+    ratios -> deterministic argmax; ties broken toward the larger
+    threshold in both). The seeded bootstrap stays in
+    retrieval_threshold_metrics (reference-shaped RNG, rows-only).
+    Output (metric, value) rounded 4."""
+    from stack_trace_deduplication_ray.eval.metrics import (
+        f_beta_sweep,
+        metrics_table,
+        roc_auc,
+    )
+
+    t = _first_correct_ranks(sf_dir).to_pandas()
+    scores = np.round(t["top_score"].to_numpy(), 4)
+    y = t["top1_match"].to_numpy().astype(np.int64)
+    out = dict(f_beta_sweep(scores, y))
+    auc = roc_auc(scores, y)
+    if not np.isnan(auc):
+        out["roc_auc"] = auc
+    return metrics_table({k: round(v, 4) for k, v in out.items()})
+
+
+def _lehmer2(x: np.ndarray) -> np.ndarray:
+    """Two Lehmer-LCG rounds (multiplier 48271, modulus 2^31-1 — the
+    MINSTD constants). All intermediates < 2^47, so plain int64
+    arithmetic is exact — the same expression evaluates identically
+    as DuckDB BIGINT math, which is the point: a resampling scheme
+    BOTH engines can reproduce bit-for-bit."""
+    M = np.int64(2147483647)
+    x = x % (M - 1) + 1
+    x = (x * np.int64(48271)) % M
+    x = (x * np.int64(48271)) % M
+    return x
+
+
+def _r4_ratio(num: int, den: int) -> float:
+    """round(num/den, 4) with HALF-UP rounding done entirely in int64
+    arithmetic: (num*20000 + den) // (2*den) / 10000. Both numpy int64
+    and DuckDB BIGINT `//` evaluate this identically, so a ratio that
+    lands exactly on a 0.00005 boundary (the case float round() makes
+    engine-dependent) is still hash-stable."""
+    return int((np.int64(num) * np.int64(20000) + np.int64(den))
+               // (np.int64(2) * np.int64(den))) / 10000.0
+
+
+def bootstrap_acc1_ci(sf_dir: str, n_iter: int = 100):
+    """Percentile bootstrap CI of Accuracy@1 (reference: 100
+    resamples, ea/common/evaluation/intervals.py:17-33) with a
+    DETERMINISTIC integer resampler instead of an opaque RNG stream:
+    draw j of iteration i picks index lehmer2(i*1000003 + j) % n over
+    the y vector ordered by query id. The scheme is unbiased across
+    draws and — unlike np.random — expressible in ANSI SQL, making
+    the whole CI hash-checkable against the DuckDB oracle (★).
+
+    The CI bounds are DISCRETE order statistics of the per-iteration
+    success SUMS (ranks ceil(0.025*n_iter) and ceil(0.975*n_iter),
+    i.e. 3rd and 98th of 100): integer sums + integer ranks + the
+    integer half-up rounding of _r4_ratio keep the whole computation
+    in exact int64, immune to float quantile-interpolation rounding
+    boundaries that differ between engines.
+    retrieval_threshold_metrics keeps the reference-shaped seeded-RNG
+    linear-interpolation bootstrap. Output (metric, value) rounded 4."""
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
+
+    t = _first_correct_ranks(sf_dir).to_pandas().sort_values("q")
+    y = t["top1_match"].to_numpy().astype(np.int64)
+    n = len(y)
+    i = np.repeat(np.arange(n_iter, dtype=np.int64), n)
+    j = np.tile(np.arange(n, dtype=np.int64), n_iter)
+    pick = _lehmer2(i * np.int64(1000003) + j) % n
+    sums = np.sort(y[pick].reshape(n_iter, n).sum(axis=1))
+    lo_rank = max(int(np.ceil(0.025 * n_iter)), 1)
+    hi_rank = int(np.ceil(0.975 * n_iter))
+    out = {
+        "acc1_mean": _r4_ratio(int(y.sum()), n),
+        "acc1_ci_lo": _r4_ratio(int(sums[lo_rank - 1]), n),
+        "acc1_ci_hi": _r4_ratio(int(sums[hi_rank - 1]), n),
+    }
+    return metrics_table(out)

@@ -437,9 +437,13 @@ def fast_pair_scores(
     sf_dir: str, k: int = 5,
     alpha: float = 1.0, beta: float = 1.0, gamma: float = 1.0,
 ):
-    """FaST positional-alignment pair scores, top-k per query doc.
-    The alignment is order-dependent (not SQL-expressible) -> rows-only
-    driver check; the kernel itself is verified against an independent
+    """FaST positional-alignment pair scores, top-k per query doc
+    (DuckDB oracle ★). The two-pointer merge over id-sorted token
+    streams is equivalent to matching the k-th occurrence of each
+    shared token in both docs (occurrences ordered by reversed
+    position), which IS SQL-expressible as an equi-join on
+    (source, token, k) — see oracle_sql()["fast_pair_scores"]. The
+    kernel is additionally verified against an independent
     transcription of the published algorithm in tests/test_scoring.py.
     Output (src, dst, score rounded 4)."""
 

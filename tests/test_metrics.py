@@ -226,3 +226,28 @@ def test_sampled_knn_label_accuracy_matches_full(ray_session):
     sampled = knn_label_accuracy(sf, max_broadcast_rows=10).to_pandas()
     assert int(sampled["n"][0]) == int(full["n"][0])
     assert float(sampled["accuracy"][0]) == float(full["accuracy"][0])
+
+
+def test_lehmer2_deterministic_and_spread():
+    from stack_trace_deduplication_ray.pipelines.evaluation import _lehmer2
+
+    x = np.arange(10_000, dtype=np.int64)
+    a = _lehmer2(x)
+    b = _lehmer2(x)
+    assert np.array_equal(a, b)
+    assert a.min() >= 1 and a.max() < 2147483647
+    # picks over a 100-slot target should be near-uniform
+    picks = a % 100
+    counts = np.bincount(picks, minlength=100)
+    assert counts.min() > 50 and counts.max() < 160
+
+
+def test_bootstrap_acc1_ci_schema_and_order(ray_session):
+    from stack_trace_deduplication_ray.pipelines.evaluation import (
+        bootstrap_acc1_ci,
+    )
+
+    t = bootstrap_acc1_ci("/root/testdata/sf0.001").to_pandas()
+    d = dict(zip(t["metric"], t["value"]))
+    assert set(d) == {"acc1_mean", "acc1_ci_lo", "acc1_ci_hi"}
+    assert d["acc1_ci_lo"] <= d["acc1_mean"] <= d["acc1_ci_hi"]
