@@ -102,7 +102,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
 
 def oracle_sql() -> dict[str, str]:
+    # The flagship text-clustering oracle (exact + MinHash-LSH +
+    # winnowed-substring + CC) is machine-generated pure SQL — the
+    # repo's 64-bit hash kernels re-derived in DuckDB integer
+    # arithmetic; see eval/sql_oracle.py.
+    from stack_trace_deduplication_ray.eval.sql_oracle import (
+        minhash_dedup_clusters_sql,
+    )
+
     return {
+        "minhash_dedup_clusters": minhash_dedup_clusters_sql(),
         "exact_dedup_keep_first": """
             SELECT min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY text

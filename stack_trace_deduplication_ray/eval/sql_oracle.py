@@ -1,0 +1,359 @@
+"""DuckDB-SQL generator for the flagship text-dedup oracle.
+
+Builds ONE pure-SQL statement (no UDFs, no multi-statement tricks)
+that reproduces ``pipelines.text.minhash_dedup_clusters`` —
+exact + MinHash-LSH + winnowed-substring candidate generation,
+exact-Jaccard / shared-L-gram verification, connected components,
+min-id cluster naming — bit-for-bit on the driver's ``documents``
+view, so the flagship clustering family is hash-checkable against an
+independent engine instead of rows-only.
+
+The repo's 64-bit hash kernels (functions/hashing.py: FNV-prime
+polynomial window hashes finalized with splitmix64; MinHash
+``min(a*x+b mod 2^64)``; banded LSH keys) are re-derived in SQL from
+their published definitions:
+
+- wraparound u64 *constant* multiplies (splitmix64 finalizer, band
+  Horner) run in HUGEINT with hi/lo 32-bit splitting so no product
+  exceeds INT128;
+- the hot path — 128 permutations x every distinct shingle, ~13M rows
+  at fixture scale — stays in native BIGINT via 16/32-bit limb
+  splitting (HUGEINT modular arithmetic measured ~25x slower), with
+  the per-(doc, perm) minimum taken through the order-preserving
+  signed key ``(v_hi - 2^31)*2^32 + v_lo``;
+- XOR / logical shifts use UBIGINT (exact two's-complement bit ops);
+- connected components is a recursive min-label propagation CTE;
+- the MinHash permutation parameters are emitted as a VALUES literal
+  from the same seeded generator the pipeline uses (they are config
+  constants, like the thresholds).
+
+SCALE NOTE: this oracle is a CORRECTNESS artifact for the driver's
+sf0.01 check (~3 s). It enumerates all band-bucket pairs unsalted,
+which is exactly the engine's semantics while every bucket stays
+under ``bucket_cap`` (asserted empirically at fixture scale: max
+bucket size 4); the engine's salted/bridged path is equivalence-
+tested separately (tests/test_candidates.py salted==unsalted).
+"""
+
+from __future__ import annotations
+
+from fractions import Fraction
+
+from stack_trace_deduplication_ray.config import DedupConfig
+
+_M64 = "18446744073709551616"  # 2^64
+_M32 = "4294967296"            # 2^32
+_FNV = "1099511628211"         # 0x100000001B3, functions/hashing.py
+_GAMMA = 0x9E3779B97F4A7C15
+_SM_M1 = 0xBF58476D1CE4E5B9
+_SM_M2 = 0x94D049BB133111EB
+
+
+def _mulmod(v: str, m: int) -> str:
+    """(v * m) % 2^64 for a 64-bit constant m, v a HUGEINT expression
+    in [0, 2^64): hi/lo split keeps every product below INT128."""
+    m_hi, m_lo = m >> 32, m & 0xFFFFFFFF
+    return (
+        f"((({v}) % {_M32}) * {m_lo} + "
+        f"(((({v}) % {_M32}) * {m_hi} + (({v}) // {_M32}) * {m_lo})"
+        f" % {_M32}) * {_M32}) % {_M64}"
+    )
+
+
+def _xshift(v: str, s: int) -> str:
+    """v XOR (v >> s) via UBIGINT bit ops, result back as HUGEINT."""
+    return (
+        f"CAST(xor(CAST(({v}) AS UBIGINT), "
+        f"CAST(({v}) AS UBIGINT) >> {s}) AS HUGEINT)"
+    )
+
+
+def _xor64(a: str, b: str) -> str:
+    return (
+        f"CAST(xor(CAST(({a}) AS UBIGINT), CAST(({b}) AS UBIGINT))"
+        f" AS HUGEINT)"
+    )
+
+
+def _splitmix_steps() -> list[str]:
+    """splitmix64 as a chain of single-column CTE steps over `c`."""
+    return [
+        f"(c + {_GAMMA}) % {_M64}",
+        _xshift("c", 30),
+        _mulmod("c", _SM_M1),
+        _xshift("c", 27),
+        _mulmod("c", _SM_M2),
+        _xshift("c", 31),
+    ]
+
+
+def _gram_chain(name: str, k: int) -> str:
+    """CTE chain emitting `{name}`(rep, pos, g): the splitmix64-
+    finalized FNV polynomial hash of every in-row k-byte window of the
+    normalized distinct texts (== hashing.window_hashes within rows).
+    """
+    leads = ",\n    ".join(
+        f"lead(byte, {j}) OVER (PARTITION BY rep ORDER BY pos) AS b{j}"
+        for j in range(1, k)
+    )
+    horner = "CAST(b0 AS HUGEINT)"
+    for j in range(1, k):
+        horner = f"(({horner}) * {_FNV} + b{j}) % {_M64}"
+    out = (
+        f"{name}_w AS (\n  SELECT rep, pos, byte AS b0,\n    {leads}\n"
+        f"  FROM bytes\n),\n"
+        f"{name}_h AS (\n  SELECT rep, pos, {horner} AS c\n"
+        f"  FROM {name}_w WHERE b{k - 1} IS NOT NULL\n),\n"
+    )
+    prev = f"{name}_h"
+    for i, expr in enumerate(_splitmix_steps()):
+        last = i == 5
+        cur = name if last else f"{name}_s{i}"
+        col = "g" if last else "c"
+        mat = " MATERIALIZED" if last else ""
+        out += (
+            f"{cur} AS{mat} (\n  SELECT rep, pos, {expr} AS {col}"
+            f" FROM {prev}\n),\n"
+        )
+        prev = cur
+    return out
+
+
+def _perm_values(cfg: DedupConfig) -> str:
+    """The pipeline's seeded MinHash (a, b) parameters as a VALUES
+    literal, each split into 32-bit limbs for native-BIGINT math."""
+    from stack_trace_deduplication_ray.functions import hashing as H
+
+    a, b = H.minhash_params(cfg.num_perm, cfg.minhash_seed)
+    rows = ",\n    ".join(
+        f"({p}, {int(a[p]) >> 32}, {int(a[p]) & 0xFFFFFFFF}, "
+        f"{int(b[p]) >> 32}, {int(b[p]) & 0xFFFFFFFF})"
+        for p in range(cfg.num_perm)
+    )
+    return f"perms(p, a_hi, a_lo, b_hi, b_lo) AS (\n  VALUES\n    {rows}\n),\n"
+
+
+# MinHash hot path: (a*x + b) mod 2^64 per (distinct shingle, perm) in
+# pure BIGINT 16/32-bit limb arithmetic; min via the signed order key.
+_SIG_CTES = """
+shingles AS MATERIALIZED (
+  SELECT DISTINCT rep,
+         CAST(g // 4294967296 AS BIGINT) AS x_hi,
+         CAST(g % 4294967296 AS BIGINT) AS x_lo
+  FROM g5
+),
+pv1 AS (
+  SELECT s.rep, pm.p,
+         pm.a_hi, pm.a_lo, pm.b_hi, pm.b_lo, s.x_hi, s.x_lo,
+         s.x_lo & 65535 AS xl16, s.x_lo >> 16 AS xh16,
+         pm.a_lo * (s.x_lo & 65535) AS m0,
+         pm.a_lo * (s.x_lo >> 16) AS m1
+  FROM shingles s, perms pm
+),
+pv2 AS (
+  SELECT rep, p, b_hi, b_lo,
+         ((m1 & 65535) << 16) + m0 AS t,
+         (m1 >> 16) AS m1hi,
+         (((a_hi * xl16 + ((a_hi * xh16) & 65535) * 65536) & 4294967295)
+          + ((a_lo * (x_hi & 65535)
+              + ((a_lo * (x_hi >> 16)) & 65535) * 65536) & 4294967295)
+         ) AS cross_sum
+  FROM pv1
+),
+pv3 AS (
+  SELECT rep, p,
+         (t & 4294967295) + b_lo AS s_lo,
+         (m1hi + (t >> 32) + cross_sum) & 4294967295 AS prod_hi,
+         b_hi
+  FROM pv2
+),
+sigk AS (
+  SELECT rep, p,
+         min( (((prod_hi + b_hi + (s_lo >> 32)) & 4294967295)
+               - 2147483648) * 4294967296
+              + (s_lo & 4294967295) ) AS sk
+  FROM pv3 GROUP BY rep, p
+),
+sig AS MATERIALIZED (
+  SELECT rep, p,
+         CAST(((sk >> 32) + 2147483648) & 4294967295 AS HUGEINT)
+           * 4294967296 + (sk & 4294967295) AS v
+  FROM sigk
+),
+"""
+
+
+def _band_chain(cfg: DedupConfig) -> str:
+    """bandkeys(rep, band, bk) == hashing.band_keys: FNV Horner over
+    each band's rows, band index mixed in, splitmix64 finalized."""
+    rpb = cfg.rows_per_band
+    vcols = ", ".join(
+        f"max(CASE WHEN p % {rpb} = {j} THEN v END) AS v{j}"
+        for j in range(rpb)
+    )
+    horner = "CAST(0 AS HUGEINT)"
+    for j in range(rpb):
+        horner = f"(({horner}) * {_FNV} + v{j}) % {_M64}"
+    mix = _xor64("h", f"(band * {_GAMMA}) % {_M64}")
+    out = (
+        f"bandrows AS (\n  SELECT rep, p // {rpb} AS band, {vcols}\n"
+        f"  FROM sig GROUP BY rep, p // {rpb}\n),\n"
+        f"bandh AS (\n  SELECT rep, band, {horner} AS h FROM bandrows\n),\n"
+        f"bandx AS (\n  SELECT rep, band, {mix} AS c FROM bandh\n),\n"
+    )
+    prev = "bandx"
+    for i, expr in enumerate(_splitmix_steps()):
+        last = i == 5
+        cur = "bandkeys" if last else f"bands_s{i}"
+        col = "bk" if last else "c"
+        mat = " MATERIALIZED" if last else ""
+        out += (
+            f"{cur} AS{mat} (\n  SELECT rep, band, {expr} AS {col}"
+            f" FROM {prev}\n),\n"
+        )
+        prev = cur
+    return out
+
+
+def _winnow_ctes(cfg: DedupConfig) -> str:
+    """fps(rep, fp) == stages.expand.winnow_fingerprints: per-row
+    min of every full `window`-length run of L-gram hashes; rows with
+    fewer than `window` hashes keep the run minimum."""
+    w = cfg.winnow_window
+    return f"""
+g32n AS (
+  SELECT rep, pos, g,
+         count(*) OVER (PARTITION BY rep) AS cnt,
+         min(g) OVER (PARTITION BY rep ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+           AS wmin,
+         min(g) OVER (PARTITION BY rep) AS allmin,
+         row_number() OVER (PARTITION BY rep ORDER BY pos) AS rn
+  FROM g32
+),
+fps AS MATERIALIZED (
+  SELECT DISTINCT rep, wmin AS fp FROM g32n
+  WHERE cnt >= {w} AND rn <= cnt - {w - 1}
+  UNION
+  SELECT DISTINCT rep, allmin AS fp FROM g32n WHERE cnt < {w}
+),
+"""
+
+
+# NFC + whitespace-collapse normalization (signatures.py
+# normalize_captions with lowercase off), distinct texts keyed by
+# their minimum doc_id — the engine's exact-collapse representative.
+_BASE_CTES = """
+hexmap AS (
+  SELECT lower(lpad(to_hex(v), 2, '0')) AS hx, v AS val
+  FROM generate_series(0, 255) t(v)
+),
+norm AS MATERIALIZED (
+  SELECT min(doc_id) AS rep, t AS txt, octet_length(encode(t)) AS blen
+  FROM (
+    SELECT doc_id,
+           trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')) AS t
+    FROM documents
+  )
+  GROUP BY t
+),
+bytes AS MATERIALIZED (
+  SELECT n.rep, i.pos, m.val AS byte
+  FROM norm n
+  JOIN generate_series(1, 65536) i(pos) ON i.pos <= n.blen
+  JOIN hexmap m
+    ON substr(lower(hex(encode(n.txt))), 2*i.pos-1, 2) = m.hx
+),
+"""
+
+
+def _final_ctes(cfg: DedupConfig) -> str:
+    """Candidates -> verify -> union edges -> recursive CC -> min-id
+    clusters, relabeled back onto every doc_id."""
+    frac = Fraction(cfg.jaccard_threshold).limit_denominator(10**6)
+    num, den = frac.numerator, frac.denominator
+    return f"""
+cand_mh AS MATERIALIZED (
+  SELECT DISTINCT a.rep AS ra, b.rep AS rb
+  FROM bandkeys a JOIN bandkeys b ON a.bk = b.bk AND a.rep < b.rep
+),
+shc AS (SELECT rep, count(*) AS c FROM shingles GROUP BY rep),
+mh_edges AS (
+  SELECT p.ra, p.rb
+  FROM cand_mh p
+  JOIN shc ca ON ca.rep = p.ra
+  JOIN shc cb ON cb.rep = p.rb
+  JOIN (
+    SELECT c.ra, c.rb, count(*) AS inter
+    FROM cand_mh c
+    JOIN shingles sa ON sa.rep = c.ra
+    JOIN shingles sb ON sb.rep = c.rb AND sb.x_hi = sa.x_hi
+                                      AND sb.x_lo = sa.x_lo
+    GROUP BY c.ra, c.rb
+  ) i ON i.ra = p.ra AND i.rb = p.rb
+  -- exact Jaccard >= {cfg.jaccard_threshold} in integer arithmetic:
+  -- inter/(ca+cb-inter) >= {num}/{den}; for the small denominators
+  -- Jaccard ratios take, the rational predicate coincides with the
+  -- engine's float comparison (nearest-double rounding at the only
+  -- boundary point is identical in both engines)
+  WHERE {den} * i.inter >= {num} * (ca.c + cb.c - i.inter)
+),
+cand_ss AS MATERIALIZED (
+  SELECT DISTINCT a.rep AS ra, b.rep AS rb
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.rep < b.rep
+),
+ss_edges AS (
+  SELECT DISTINCT c.ra, c.rb
+  FROM cand_ss c
+  JOIN g32 ga ON ga.rep = c.ra
+  JOIN g32 gb ON gb.rep = c.rb AND gb.g = ga.g
+),
+alledges AS MATERIALIZED (
+  SELECT ra, rb FROM mh_edges UNION SELECT ra, rb FROM ss_edges
+),
+edges_u AS MATERIALIZED (
+  SELECT ra AS s, rb AS d FROM alledges
+  UNION SELECT rb AS s, ra AS d FROM alledges
+),
+walk(id, lbl) AS (
+  SELECT rep, rep FROM norm
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges_u e ON e.s = w.id
+  WHERE w.lbl < e.d
+),
+lbl AS (SELECT id, min(lbl) AS cluster FROM walk GROUP BY id),
+docrep AS (
+  SELECT d.doc_id, n.rep
+  FROM (
+    SELECT doc_id,
+           trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')) AS t
+    FROM documents
+  ) d JOIN norm n ON n.txt = d.t
+)
+SELECT d.doc_id, CAST(l.cluster AS BIGINT) AS cluster_id
+FROM docrep d JOIN lbl l ON l.id = d.rep
+"""
+
+
+def minhash_dedup_clusters_sql(cfg: DedupConfig | None = None) -> str:
+    """The complete oracle statement for
+    pipelines.text.minhash_dedup_clusters (config defaults to the
+    pipeline's TEXT_DEDUP_CONFIG)."""
+    if cfg is None:
+        from stack_trace_deduplication_ray.pipelines.text import (
+            TEXT_DEDUP_CONFIG,
+        )
+
+        cfg = TEXT_DEDUP_CONFIG
+    assert not cfg.lowercase, "oracle encodes the no-lowercase text path"
+    return (
+        "WITH RECURSIVE "
+        + _BASE_CTES
+        + _gram_chain("g5", cfg.shingle_k)
+        + _gram_chain("g32", cfg.substring_min_len)
+        + _winnow_ctes(cfg)
+        + _perm_values(cfg)
+        + _SIG_CTES
+        + _band_chain(cfg)
+        + _final_ctes(cfg)
+    )

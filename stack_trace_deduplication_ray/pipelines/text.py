@@ -100,8 +100,13 @@ def corpus_stats(sf_dir: str):
 
 def minhash_dedup_clusters(sf_dir: str):
     """Full near-dup clustering of documents (exact + MinHash-LSH +
-    substring stages). Returns (doc_id, cluster_id). Non-SQL
-    (LSH banding + union-find) -> rows-only driver check.
+    substring stages). Returns (doc_id, cluster_id).
+
+    Hash-checked against a machine-generated pure-SQL DuckDB oracle
+    (eval/sql_oracle.py): the 64-bit hash kernels, MinHash/LSH
+    banding, winnowing, verification, and connected components are
+    re-derived in DuckDB integer arithmetic and must agree
+    bit-for-bit on every cluster assignment.
     """
     from stack_trace_deduplication_ray.pipelines.dedup import run_dedup
 
