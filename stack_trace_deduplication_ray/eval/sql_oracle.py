@@ -357,3 +357,64 @@ def minhash_dedup_clusters_sql(cfg: DedupConfig | None = None) -> str:
         + _band_chain(cfg)
         + _final_ctes(cfg)
     )
+
+
+# Per-doc variant of the normalization CTEs: no distinct-text
+# collapse — `rep` IS the doc_id (pipelines that emit per-document
+# pairs, e.g. substring_candidate_pairs, run their expansion on every
+# row, so identical texts each carry their own fingerprints).
+_BASE_CTES_PER_DOC = """
+hexmap AS (
+  SELECT lower(lpad(to_hex(v), 2, '0')) AS hx, v AS val
+  FROM generate_series(0, 255) t(v)
+),
+norm AS MATERIALIZED (
+  SELECT doc_id AS rep,
+         trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')) AS txt,
+         octet_length(encode(
+           trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g'))
+         )) AS blen
+  FROM documents
+),
+bytes AS MATERIALIZED (
+  SELECT n.rep, i.pos, m.val AS byte
+  FROM norm n
+  JOIN generate_series(1, 65536) i(pos) ON i.pos <= n.blen
+  JOIN hexmap m
+    ON substr(lower(hex(encode(n.txt))), 2*i.pos-1, 2) = m.hx
+),
+"""
+
+
+def substring_candidate_pairs_sql(cfg: DedupConfig | None = None) -> str:
+    """Oracle for pipelines.text.substring_candidate_pairs: pairs of
+    docs sharing a winnowed fingerprint (candidate generation) AND a
+    common L-gram of the normalized text (verification), src < dst.
+
+    Unlike substring_pairs_exact's closed-form L+window-1 contract,
+    this reproduces the WINNOWING itself, so the guarantee gap in
+    [L, L+window-2] is irrelevant: the oracle computes the identical
+    fingerprint buckets the engine buckets on."""
+    if cfg is None:
+        from stack_trace_deduplication_ray.pipelines.text import (
+            TEXT_DEDUP_CONFIG,
+        )
+
+        cfg = TEXT_DEDUP_CONFIG
+    assert not cfg.lowercase
+    return (
+        "WITH "
+        + _BASE_CTES_PER_DOC
+        + _gram_chain("g32", cfg.substring_min_len)
+        + _winnow_ctes(cfg)
+        + """
+cand_ss AS MATERIALIZED (
+  SELECT DISTINCT a.rep AS ra, b.rep AS rb
+  FROM fps a JOIN fps b ON a.fp = b.fp AND a.rep < b.rep
+)
+SELECT DISTINCT CAST(c.ra AS BIGINT) AS src, CAST(c.rb AS BIGINT) AS dst
+FROM cand_ss c
+JOIN g32 ga ON ga.rep = c.ra
+JOIN g32 gb ON gb.rep = c.rb AND gb.g = ga.g
+"""
+    )

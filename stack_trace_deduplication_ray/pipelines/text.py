@@ -405,8 +405,11 @@ def word_jaccard_pairs_distributed(
 
 def substring_candidate_pairs(sf_dir: str, cfg: DedupConfig = TEXT_DEDUP_CONFIG):
     """Winnowed-fingerprint repeated-substring candidate pairs over
-    document texts, verified by shared >= L-char window. Non-SQL ->
-    rows-only check. Output (src, dst) doc ids, src < dst."""
+    document texts, verified by shared >= L-char window. Hash-checked
+    against eval/sql_oracle.substring_candidate_pairs_sql, which
+    reproduces the winnowing itself in SQL (so no reliance on the
+    L+window-1 completeness guarantee). Output (src, dst) doc ids,
+    src < dst."""
     from stack_trace_deduplication_ray.stages import candidates as cand
     from stack_trace_deduplication_ray.stages import expand as ex
     from stack_trace_deduplication_ray.stages import verify as ver
