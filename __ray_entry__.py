@@ -108,12 +108,14 @@ def oracle_sql() -> dict[str, str]:
     # arithmetic; see eval/sql_oracle.py.
     from stack_trace_deduplication_ray.eval.sql_oracle import (
         minhash_dedup_clusters_sql,
+        simhash_text_clusters_sql,
         substring_candidate_pairs_sql,
     )
 
     return {
         "minhash_dedup_clusters": minhash_dedup_clusters_sql(),
         "substring_candidate_pairs": substring_candidate_pairs_sql(),
+        "simhash_text_clusters": simhash_text_clusters_sql(),
         "exact_dedup_keep_first": """
             SELECT min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY text

@@ -418,3 +418,152 @@ JOIN g32 ga ON ga.rep = c.ra
 JOIN g32 gb ON gb.rep = c.rb AND gb.g = ga.g
 """
     )
+
+
+def simhash_text_clusters_sql(cfg: DedupConfig | None = None) -> str:
+    """Oracle for pipelines.text.simhash_text_clusters: per-doc token
+    SimHash (Charikar bit votes over poly+splitmix token hashes),
+    16-bit chunk-probed candidate buckets, in-bucket Hamming <= radius
+    test, connected components, min-id clusters.
+
+    Token hashes use hashing.hash_strings_poly — FNV Horner over the
+    token's utf-8 bytes — computed here as byte * B^(len-pos) power
+    sums in split-BIGINT limbs (the FNV powers come from a 1-row
+    recursive doubling CTE bounded by the corpus' max token length).
+    """
+    if cfg is None:
+        from stack_trace_deduplication_ray.config import DedupConfig as DC
+
+        cfg = DC()
+    chunks = cfg.simhash_chunks
+    width = 64 // chunks
+    mask = (1 << width) - 1
+    radius = cfg.hamming_radius
+    sm = _splitmix_steps()
+
+    # splitmix chains over (rep, tid, c) / (rep, ci, c) tuples
+    def chain(prefix: str, keycols: str, final_col: str, first_src: str):
+        out = ""
+        prev = first_src
+        for i, expr in enumerate(sm):
+            last = i == 5
+            cur = prefix if last else f"{prefix}_s{i}"
+            col = final_col if last else "c"
+            mat = " MATERIALIZED" if last else ""
+            out += (
+                f"{cur} AS{mat} (\n  SELECT {keycols}, {expr} AS {col}"
+                f" FROM {prev}\n),\n"
+            )
+            prev = cur
+        return out
+
+    return (
+        "WITH RECURSIVE "
+        + """
+toks AS MATERIALIZED (
+  SELECT doc_id AS rep, u.tok, u.tid
+  FROM (
+    SELECT doc_id,
+           unnest(list_transform(
+             string_split(
+               trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')),
+               ' '),
+             (x, i) -> {'tok': x, 'tid': i})) AS u
+    FROM documents
+  )
+  WHERE u.tok != ''
+),
+hexmap AS (
+  SELECT lower(lpad(to_hex(v), 2, '0')) AS hx, v AS val
+  FROM generate_series(0, 255) t(v)
+),
+tokbytes AS MATERIALIZED (
+  SELECT t.rep, t.tid, i.pos, octet_length(encode(t.tok)) AS tlen,
+         m.val AS byte
+  FROM toks t
+  JOIN generate_series(1, 4096) i(pos)
+    ON i.pos <= octet_length(encode(t.tok))
+  JOIN hexmap m
+    ON substr(lower(hex(encode(t.tok))), 2*i.pos-1, 2) = m.hx
+),
+pw(e, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT e + 1, """ + _mulmod("v", 0x100000001B3) + """
+  FROM pw
+  WHERE e + 1 < (SELECT max(octet_length(encode(tok))) FROM toks)
+),
+pws AS MATERIALIZED (
+  SELECT e, CAST(v // 4294967296 AS BIGINT) AS p_hi,
+         CAST(v % 4294967296 AS BIGINT) AS p_lo
+  FROM pw
+),
+-- Horner as a power sum: h = sum_j byte_j * B^(len-pos_j) mod 2^64,
+-- accumulated in 32-bit limbs (byte * p_xx <= 2^40; limb sums stay
+-- far below 2^63)
+tokh AS MATERIALIZED (
+  SELECT b.rep, b.tid,
+         CAST(((sum(b.byte * p.p_hi) + (sum(b.byte * p.p_lo) >> 32))
+               & 4294967295) AS HUGEINT) * 4294967296
+           + (sum(b.byte * p.p_lo) & 4294967295) AS c
+  FROM tokbytes b JOIN pws p ON p.e = b.tlen - b.pos
+  GROUP BY b.rep, b.tid
+),
+"""
+        + chain("th", "rep, tid", "g", "tokh")
+        + f"""
+bitvals(b, v) AS (
+  SELECT 0, CAST(1 AS HUGEINT)
+  UNION ALL
+  SELECT b + 1, v * 2 FROM bitvals WHERE b + 1 < 64
+),
+votes AS (
+  SELECT t.rep, bv.b,
+         sum(CASE WHEN (CAST(t.g AS UBIGINT) >> bv.b) & 1 = 1
+                  THEN 1 ELSE -1 END) AS s,
+         max(bv.v) AS bval
+  FROM th t, bitvals bv
+  GROUP BY t.rep, bv.b
+),
+simhash AS MATERIALIZED (
+  SELECT n.rep,
+         coalesce(v.sh, CAST(0 AS HUGEINT)) AS sh
+  FROM (SELECT DISTINCT doc_id AS rep FROM documents) n
+  LEFT JOIN (
+    SELECT rep, coalesce(sum(bval) FILTER (s > 0), 0) AS sh
+    FROM votes GROUP BY rep
+  ) v ON v.rep = n.rep
+),
+chunkv AS (
+  SELECT s.rep, ci.c AS ci,
+         {_xor64(f"CAST((CAST(s.sh AS UBIGINT) >> (ci.c * {width}))"
+                 f" & {mask} AS HUGEINT)",
+                 f"(ci.c * {_GAMMA}) % {_M64}")} AS c
+  FROM simhash s, generate_series(0, {chunks - 1}) ci(c)
+),
+"""
+        + chain("ckeys", "rep, ci", "ck", "chunkv")
+        + f"""
+pairs AS MATERIALIZED (
+  SELECT DISTINCT a.rep AS ra, b.rep AS rb
+  FROM ckeys a
+  JOIN ckeys b ON a.ck = b.ck AND a.rep < b.rep
+  JOIN simhash sa ON sa.rep = a.rep
+  JOIN simhash sb ON sb.rep = b.rep
+  WHERE bit_count(xor(CAST(sa.sh AS UBIGINT), CAST(sb.sh AS UBIGINT)))
+        <= {radius}
+),
+edges_u AS MATERIALIZED (
+  SELECT ra AS s, rb AS d FROM pairs
+  UNION SELECT rb AS s, ra AS d FROM pairs
+),
+walk(id, lbl) AS (
+  SELECT DISTINCT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges_u e ON e.s = w.id
+  WHERE w.lbl < e.d
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM walk GROUP BY id
+"""
+    )

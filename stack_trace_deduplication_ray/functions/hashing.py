@@ -317,7 +317,10 @@ def simhash_from_token_hashes(
 
     hashes: uint64[total] concatenated per-row token hashes;
     offsets: int64[n+1]. Each row's simhash bit b is the sign of the
-    vote sum over its tokens' bit b. Fully vectorized: unpack to a
+    vote sum over its tokens' bit b — matrix column j IS value bit j
+    (plain little-endian unpack/pack on both sides; the earlier
+    byte-reversed packing permuted bits, which was Hamming-invariant
+    but made the mapping SQL-opaque). Fully vectorized: unpack to a
     (total, 64) ±1 matrix, segment-sum with add.reduceat, re-pack.
     Empty rows hash to 0.
     """
@@ -327,7 +330,7 @@ def simhash_from_token_hashes(
     if len(hashes) == 0:
         return np.zeros(n, dtype=U64)
     bits = np.unpackbits(
-        hashes.astype(U64).view(np.uint8).reshape(-1, 8)[:, ::-1], axis=1,
+        hashes.astype(U64).view(np.uint8).reshape(-1, 8), axis=1,
         bitorder="little",
     ).astype(np.int8)
     votes = bits * 2 - 1  # {0,1} -> {-1,+1}
@@ -338,7 +341,7 @@ def simhash_from_token_hashes(
     sums[~nonempty] = -1  # empty rows -> all bits 0
     out_bits = (sums > 0).astype(np.uint8)
     packed = np.packbits(out_bits, axis=1, bitorder="little")
-    return packed[:, ::-1].copy().view(">u8").astype(U64).reshape(-1)
+    return np.ascontiguousarray(packed).view("<u8").astype(U64).reshape(-1)
 
 
 def simhash_combo_keys(
@@ -375,3 +378,25 @@ def simhash_combo_keys(
                 key = splitmix64(subs[c] ^ key)
             cols.append(key)
     return np.stack(cols, axis=1)
+
+
+def hash_strings_poly(strings: "np.ndarray | list[str]") -> np.ndarray:
+    """Whole-string polynomial hash: splitmix64(FNV-Horner over each
+    string's utf-8 bytes) -> uint64[n].
+
+    The same construction as ``window_hashes`` with k = len(row) —
+    i.e. a self-contained, integer-arithmetic-only string hash that a
+    SQL oracle can re-derive exactly (unlike ``hash_bytes_arrays``,
+    whose pandas SipHash core has no SQL counterpart). Vectorized as
+    max-length masked Horner passes over the flattened byte buffer.
+    """
+    flat, offs = concat_utf8(strings)
+    n = len(offs) - 1
+    lens = np.diff(offs)
+    h = np.zeros(n, dtype=U64)
+    starts = offs[:-1]
+    with np.errstate(**_ERR):
+        for j in range(int(lens.max()) if n else 0):
+            active = lens > j
+            h[active] = h[active] * _POLY_BASE + flat[starts[active] + j]
+    return splitmix64(h)

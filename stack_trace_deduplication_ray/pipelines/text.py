@@ -573,8 +573,9 @@ def simhash_text_clusters(sf_dir: str, cfg: DedupConfig | None = None):
     MinHash-LSH: token-hash bit votes -> chunk-probed buckets with the
     in-bucket Hamming(<= radius) test (pigeonhole-complete, same
     machinery as the image side) -> connected components.
-    Output (doc_id, cluster_id); rows-only driver check (not
-    SQL-expressible)."""
+    Output (doc_id, cluster_id); hash-checked against
+    eval/sql_oracle.simhash_text_clusters_sql (the token hash is the
+    SQL-rederivable poly+splitmix construction, hash_strings_poly)."""
     from stack_trace_deduplication_ray.stages import candidates as cand
     from stack_trace_deduplication_ray.stages import cc as cc_mod
 
@@ -587,8 +588,11 @@ def simhash_text_clusters(sf_dir: str, cfg: DedupConfig | None = None):
         lens = np.fromiter(map(len, toks), dtype=np.int64, count=len(toks))
         offs = np.zeros(len(toks) + 1, dtype=np.int64)
         np.cumsum(lens, out=offs[1:])
+        # ONE vectorized hash pass over the batch's flattened token
+        # stream (was a per-row hash_bytes_arrays loop); the poly
+        # construction is also what makes the SQL oracle possible
         flat = (
-            np.concatenate([H.hash_bytes_arrays(t) for t in toks if len(t)])
+            H.hash_strings_poly([t for row in toks for t in row])
             if lens.sum()
             else np.empty(0, dtype=np.uint64)
         )
@@ -620,7 +624,35 @@ def simhash_text_clusters(sf_dir: str, cfg: DedupConfig | None = None):
     edges, _ = cand.simhash_pairs_from_buckets(
         sigs.map_batches(expand, batch_format="pyarrow"), "simhash", cfg
     )
-    edges = cand.dedup_edges(edges, cfg).materialize()
+    # Re-verify Hamming on EVERY edge: the in-bucket pre-test already
+    # guarantees it for normal pairs, but salting BRIDGE links (and
+    # over-cap chain links between sub-bucket reps) skip it — the
+    # image flagship re-checks those in its PSNR verify, and without
+    # this pass a sampling-triggered salt of an under-cap bucket can
+    # leak an unverified rep-rep edge straight into CC (observed at
+    # fixture scale: 2 extra merges from hot-estimate false
+    # positives). One feature-attachment join pair, same machinery as
+    # the verify stages.
+    from stack_trace_deduplication_ray.stages.verify import (
+        attach_pair_features,
+    )
+
+    attached = attach_pair_features(
+        edges.materialize(), sigs, cfg, dedup_pairs=True,
+        feat_size_bytes=sigs.size_bytes(),
+    )
+
+    def ham_filter(batch: pa.Table) -> pa.Table:
+        a = batch.column("simhash_src").to_numpy(zero_copy_only=False)
+        b = batch.column("simhash_dst").to_numpy(zero_copy_only=False)
+        d = H.hamming64(a.astype(np.int64).view(np.uint64),
+                        b.astype(np.int64).view(np.uint64))
+        keep = d <= cfg.hamming_radius
+        return batch.filter(pa.array(keep)).select(["src", "dst"])
+
+    edges = attached.map_batches(
+        ham_filter, batch_format="pyarrow"
+    ).materialize()
     clusters = cc_mod.assign_clusters(ds.select_columns(["image_id"]), edges, cfg)
 
     def conv(batch: pa.Table) -> pa.Table:
