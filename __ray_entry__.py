@@ -107,12 +107,16 @@ def oracle_sql() -> dict[str, str]:
     # repo's 64-bit hash kernels re-derived in DuckDB integer
     # arithmetic; see eval/sql_oracle.py.
     from stack_trace_deduplication_ray.eval.sql_oracle import (
+        embedding_dedup_clusters_sql,
+        lsh_near_pairs_sql,
         minhash_dedup_clusters_sql,
         simhash_text_clusters_sql,
         substring_candidate_pairs_sql,
     )
 
     return {
+        "lsh_near_pairs": lsh_near_pairs_sql(),
+        "embedding_dedup_clusters": embedding_dedup_clusters_sql(),
         "minhash_dedup_clusters": minhash_dedup_clusters_sql(),
         "substring_candidate_pairs": substring_candidate_pairs_sql(),
         "simhash_text_clusters": simhash_text_clusters_sql(),

@@ -567,3 +567,142 @@ SELECT CAST(id AS BIGINT) AS doc_id, CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM walk GROUP BY id
 """
     )
+
+
+def _lsh_common_ctes(n_tables: int = 16, seed: int = 99,
+                     quant_bits: int = 20) -> str:
+    """Shared CTEs for the sign-random-projection LSH family
+    (pipelines.similarity.HyperplaneLSH): quantized int64 embeddings,
+    ±1 plane signs from splitmix64 parity, integer dot signs, bucket
+    values, and the deduped candidate pair set."""
+    sm = _splitmix_steps()
+    chain = ""
+    prev = "pidx"
+    for i, expr in enumerate(sm):
+        last = i == 5
+        cur = "planes" if last else f"pl_s{i}"
+        col = "g" if last else "c"
+        chain += (
+            f"{cur} AS (\n  SELECT t, b, d, {expr} AS {col}"
+            f" FROM {prev}\n),\n"
+        )
+        prev = cur
+    return f"""
+nvec AS (SELECT count(*) AS n FROM embeddings),
+params AS (
+  -- n_bits auto-sizing: max(4, ceil(log2(max(2, n/64))))
+  SELECT greatest(4, CAST(ceil(log2(greatest(2.0, n / 64.0))) AS BIGINT))
+    AS nbits
+  FROM nvec
+),
+comps AS MATERIALIZED (
+  SELECT vec_id, u.d - 1 AS d, CAST(u.x AS DOUBLE) AS x
+  FROM (
+    SELECT vec_id,
+           unnest(list_transform(embedding,
+                                 (v, i) -> {{'x': v, 'd': i}})) AS u
+    FROM embeddings
+  )
+),
+quant AS MATERIALIZED (
+  SELECT vec_id, d, CAST(floor(x * {1 << quant_bits}) AS BIGINT) AS q
+  FROM comps
+),
+dims AS (SELECT DISTINCT d FROM comps),
+pidx AS (
+  SELECT t.t, b.b, dims.d,
+         {_xor64(f"CAST(t.t AS HUGEINT) * {1 << 40}"
+                 f" + CAST(b.b AS HUGEINT) * {1 << 20}"
+                 f" + dims.d", str(seed))} AS c
+  FROM generate_series(0, {n_tables - 1}) t(t),
+       generate_series(0, 63) b(b),
+       dims
+  WHERE b.b < (SELECT nbits FROM params)
+),
+{chain}
+signs AS MATERIALIZED (
+  SELECT t, b, d,
+         CAST(CAST(g AS UBIGINT) & 1 AS BIGINT) * 2 - 1 AS sgn
+  FROM planes
+),
+dots AS (
+  SELECT q.vec_id, s.t, s.b, sum(q.q * s.sgn) AS dot
+  FROM quant q JOIN signs s ON s.d = q.d
+  GROUP BY q.vec_id, s.t, s.b
+),
+bitvals2(b, v) AS (
+  SELECT 0, CAST(1 AS BIGINT)
+  UNION ALL
+  SELECT b + 1, v * 2 FROM bitvals2 WHERE b + 1 < 63
+),
+buckets AS MATERIALIZED (
+  SELECT d.vec_id,
+         coalesce(sum(bv.v) FILTER (d.dot > 0), 0)
+           + d.t * 4294967296 AS bucket
+  FROM dots d JOIN bitvals2 bv ON bv.b = d.b
+  GROUP BY d.vec_id, d.t
+),
+cand AS MATERIALIZED (
+  SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+),
+scored AS MATERIALIZED (
+  SELECT c.src, c.dst,
+         sum((ca.x / na.nrm) * (cb.x / nb.nrm)) AS cos
+  FROM cand c
+  JOIN comps ca ON ca.vec_id = c.src
+  JOIN comps cb ON cb.vec_id = c.dst AND cb.d = ca.d
+  JOIN (SELECT vec_id, greatest(sqrt(sum(x * x)), 1e-12) AS nrm
+        FROM comps GROUP BY vec_id) na ON na.vec_id = c.src
+  JOIN (SELECT vec_id, greatest(sqrt(sum(x * x)), 1e-12) AS nrm
+        FROM comps GROUP BY vec_id) nb ON nb.vec_id = c.dst
+  GROUP BY c.src, c.dst
+),
+"""
+
+
+def lsh_near_pairs_sql(threshold: float = 0.4) -> str:
+    """Oracle for pipelines.similarity.lsh_near_pairs: SRP-LSH bucket
+    candidates, exact cosine >= threshold, (src, dst, cos r4).
+
+    The bucket bits are exact integer signs (quantized embeddings x
+    ±1 planes), so the candidate set is engine-independent; only the
+    reported cosine involves floats, rounded to 4 decimals on both
+    sides (the bucket_cap=2000 truncation path cannot trigger at
+    fixture scale: every bucket is far under the cap)."""
+    return (
+        "WITH RECURSIVE "
+        + _lsh_common_ctes()
+        + f"""
+fin AS (SELECT 1)
+SELECT src, dst, round(cos, 4) AS cos
+FROM scored WHERE cos >= {threshold}
+"""
+    )
+
+
+def embedding_dedup_clusters_sql(threshold: float = 0.4) -> str:
+    """Oracle for pipelines.similarity.embedding_dedup_clusters: the
+    LSH pair table filtered at cosine >= threshold feeds recursive
+    connected components; every vector labels itself with its
+    component's min vec_id."""
+    return (
+        "WITH RECURSIVE "
+        + _lsh_common_ctes()
+        + f"""
+edges_u AS MATERIALIZED (
+  SELECT src AS s, dst AS d FROM scored WHERE cos >= {threshold}
+  UNION
+  SELECT dst AS s, src AS d FROM scored WHERE cos >= {threshold}
+),
+walk(id, lbl) AS (
+  SELECT vec_id, vec_id FROM embeddings
+  UNION
+  SELECT e.d, w.lbl FROM walk w JOIN edges_u e ON e.s = w.id
+  WHERE w.lbl < e.d
+)
+SELECT CAST(id AS BIGINT) AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
+FROM walk GROUP BY id
+"""
+    )

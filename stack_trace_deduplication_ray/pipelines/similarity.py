@@ -137,20 +137,51 @@ def _probe_sample(ds, n_queries: int, seed: int):
 
 
 
+LSH_QUANT_BITS = 20  # embeddings quantized to floor(x * 2^20) int64
+
+
 class HyperplaneLSH:
-    """Random-hyperplane SimHash bucketer for embeddings (actor pool:
-    the projection matrix is built once per actor from the seed)."""
+    """Sign-random-projection bucketer for embeddings (actor pool: the
+    projection matrix is built once per actor from the seed).
+
+    The projection is EXACT INTEGER arithmetic end to end, which makes
+    the bucket assignment engine-independent (the DuckDB oracle
+    re-derives it bit-for-bit):
+
+    - plane entries are Rademacher ±1 signs taken from the parity of
+      splitmix64(seed ^ (t*2^40 + bit*2^20 + dim)) — the standard SRP
+      collision probability P(bit agrees) = 1 - theta/pi holds for
+      ±1 entries just as for Gaussian ones (Charikar'02 sign-random
+      projections; Achlioptas'03 database-friendly projections);
+    - vectors are quantized to floor(x * 2^QUANT) int64 (exact: the
+      float64 product is floored, never round-half-tied), so a bit is
+      the sign of an int64 sum — no float summation-order ambiguity
+      can flip a bucket bit between engines. At 2^20 the quantization
+      perturbs each component by < 1e-6 relative to unit-scale data,
+      far below any angular resolution the 16-bit sketch has.
+    """
 
     def __init__(self, dim: int, n_bits: int = 16, n_tables: int = 4, seed: int = 99):
-        rng = np.random.default_rng(seed)
-        self.planes = rng.standard_normal((n_tables, n_bits, dim))
+        from stack_trace_deduplication_ray.functions import hashing as H
+
+        idx = (
+            np.arange(n_tables, dtype=np.uint64)[:, None, None] << np.uint64(40)
+        ) | (
+            np.arange(n_bits, dtype=np.uint64)[None, :, None] << np.uint64(20)
+        ) | np.arange(dim, dtype=np.uint64)[None, None, :]
+        with np.errstate(over="ignore"):
+            par = H.splitmix64(idx.reshape(-1) ^ np.uint64(seed)) & np.uint64(1)
+        self.planes = (
+            par.astype(np.int64).reshape(n_tables, n_bits, dim) * 2 - 1
+        )
         self.n_tables = n_tables
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _emb_matrix(batch)
+        q = np.floor(mat * float(1 << LSH_QUANT_BITS)).astype(np.int64)
         out_ids, out_buckets = [], []
         for t in range(self.n_tables):
-            bits = mat @ self.planes[t].T > 0
+            bits = q @ self.planes[t].T > 0
             vals = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
             out_ids.append(ids)
             out_buckets.append(vals + (t << 32))
