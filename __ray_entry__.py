@@ -110,6 +110,8 @@ def oracle_sql() -> dict[str, str]:
         embedding_dedup_clusters_sql,
         lsh_near_pairs_sql,
         minhash_dedup_clusters_sql,
+        mock_rerank_metrics_sql,
+        retrieve_rerank_metrics_sql,
         simhash_text_clusters_sql,
         substring_candidate_pairs_sql,
     )
@@ -117,6 +119,8 @@ def oracle_sql() -> dict[str, str]:
     return {
         "lsh_near_pairs": lsh_near_pairs_sql(),
         "embedding_dedup_clusters": embedding_dedup_clusters_sql(),
+        "retrieve_rerank_metrics": retrieve_rerank_metrics_sql(),
+        "mock_rerank_metrics": mock_rerank_metrics_sql(),
         "minhash_dedup_clusters": minhash_dedup_clusters_sql(),
         "substring_candidate_pairs": substring_candidate_pairs_sql(),
         "simhash_text_clusters": simhash_text_clusters_sql(),

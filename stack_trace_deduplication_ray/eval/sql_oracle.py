@@ -569,12 +569,13 @@ FROM walk GROUP BY id
     )
 
 
-def _lsh_common_ctes(n_tables: int = 16, seed: int = 99,
+def _srp_bucket_ctes(n_tables: int = 16, seed: int = 99,
                      quant_bits: int = 20) -> str:
-    """Shared CTEs for the sign-random-projection LSH family
-    (pipelines.similarity.HyperplaneLSH): quantized int64 embeddings,
-    ±1 plane signs from splitmix64 parity, integer dot signs, bucket
-    values, and the deduped candidate pair set."""
+    """CTEs reproducing pipelines.similarity.HyperplaneLSH exactly:
+    quantized int64 embeddings, ±1 plane signs from splitmix64
+    parity, integer dot signs, per-(vector, table) bucket values —
+    ending at `buckets`(vec_id, bucket). Also emits `comps`
+    (unnested double components) for downstream cosine scoring."""
     sm = _splitmix_steps()
     chain = ""
     prev = "pidx"
@@ -642,6 +643,14 @@ buckets AS MATERIALIZED (
   FROM dots d JOIN bitvals2 bv ON bv.b = d.b
   GROUP BY d.vec_id, d.t
 ),
+"""
+
+
+def _lsh_common_ctes(n_tables: int = 16, seed: int = 99,
+                     quant_bits: int = 20) -> str:
+    """_srp_bucket_ctes + the undirected candidate pair set and exact
+    cosine scores (lsh_near_pairs / embedding_dedup_clusters tail)."""
+    return _srp_bucket_ctes(n_tables, seed, quant_bits) + """
 cand AS MATERIALIZED (
   SELECT DISTINCT a.vec_id AS src, b.vec_id AS dst
   FROM buckets a JOIN buckets b
@@ -706,3 +715,140 @@ SELECT CAST(id AS BIGINT) AS vec_id, CAST(min(lbl) AS BIGINT) AS cluster_id
 FROM walk GROUP BY id
 """
     )
+
+
+def _splitmix_expr_chain(name: str, keycols: str, src: str,
+                         final_col: str) -> str:
+    """Generic splitmix64 CTE chain over column `c` of `src`,
+    emitting `{name}` with `{final_col}`."""
+    out = ""
+    prev = src
+    for i, expr in enumerate(_splitmix_steps()):
+        last = i == 5
+        cur = name if last else f"{name}_s{i}"
+        col = final_col if last else "c"
+        out += (
+            f"{cur} AS (\n  SELECT {keycols}, {expr} AS {col}"
+            f" FROM {prev}\n),\n"
+        )
+        prev = cur
+    return out
+
+
+def _rerank_metrics_sql(mock: bool, top_n: int = 50, k: int = 10,
+                        n_tables: int = 16) -> str:
+    """Oracle for pipelines.rerank.retrieve_rerank_metrics /
+    mock_rerank_metrics: SRP-LSH directed retrieval (collision-count
+    index scores, per-query top-N cut), re-scoring (exact cosine r4,
+    or the P10 seeded hash score r6), per-query top-k ranking on the
+    ROUNDED score with candidate-id tie-break (deterministic on both
+    engines even when rounded scores tie), and the
+    Accuracy@{1,3,5,10} / MRR@10 battery.
+
+    n_queries counts queries with >= 1 retrieved candidate, exactly
+    as the pipeline's evaluator sees them (queries the index returns
+    nothing for never reach the sink)."""
+    if mock:
+        # P10 seeded hash score (rerank._mock_predictions):
+        # s = round(splitmix64(splitmix64(qid ^ 0x5C03E)
+        #                      ^ splitmix64(cid ^ 0xCAFE)) / 2^64, 6)
+        score_ctes = (
+            "mq0 AS (\n  SELECT qid, cid, "
+            + _xor64("CAST(qid AS HUGEINT)", str(0x5C03E))
+            + " AS c FROM topn\n),\n"
+            + _splitmix_expr_chain("mq", "qid, cid", "mq0", "hq")
+            + "mc0 AS (\n  SELECT qid, cid, hq, "
+            + _xor64("CAST(cid AS HUGEINT)", str(0xCAFE))
+            + " AS c FROM mq\n),\n"
+            + _splitmix_expr_chain("mc", "qid, cid, hq", "mc0", "hc")
+            + "mf0 AS (\n  SELECT qid, cid, "
+            + _xor64("hq", "hc")
+            + " AS c FROM mc\n),\n"
+            + _splitmix_expr_chain("mf", "qid, cid", "mf0", "hfin")
+            + """
+scores AS MATERIALIZED (
+  SELECT qid, cid,
+         round(CAST(hfin AS DOUBLE) / 18446744073709551616.0, 6) AS s
+  FROM mf
+),
+"""
+        )
+    else:
+        score_ctes = """
+scores AS MATERIALIZED (
+  SELECT t.qid, t.cid,
+         round(sum((ca.x / na.nrm) * (cb.x / nb.nrm)), 4) AS s
+  FROM topn t
+  JOIN comps ca ON ca.vec_id = t.qid
+  JOIN comps cb ON cb.vec_id = t.cid AND cb.d = ca.d
+  JOIN (SELECT vec_id, greatest(sqrt(sum(x * x)), 1e-12) AS nrm
+        FROM comps GROUP BY vec_id) na ON na.vec_id = t.qid
+  JOIN (SELECT vec_id, greatest(sqrt(sum(x * x)), 1e-12) AS nrm
+        FROM comps GROUP BY vec_id) nb ON nb.vec_id = t.cid
+  GROUP BY t.qid, t.cid
+),
+"""
+    return (
+        "WITH RECURSIVE "
+        + _srp_bucket_ctes(n_tables=n_tables)
+        + f"""
+dpairs AS MATERIALIZED (
+  SELECT a.vec_id AS qid, b.vec_id AS cid, count(*) AS cnt
+  FROM buckets a JOIN buckets b
+    ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+  GROUP BY a.vec_id, b.vec_id
+),
+topn AS MATERIALIZED (
+  SELECT qid, cid FROM (
+    SELECT qid, cid, row_number() OVER (
+      PARTITION BY qid ORDER BY cnt DESC, cid ASC
+    ) AS rn FROM dpairs
+  ) WHERE rn <= {top_n}
+),
+"""
+        + score_ctes
+        + f"""
+ranked AS (
+  SELECT qid, cid, s, row_number() OVER (
+    PARTITION BY qid ORDER BY s DESC, cid ASC
+  ) AS pos
+  FROM scores
+),
+cut AS (SELECT qid, cid, pos FROM ranked WHERE pos <= {k}),
+lab AS (
+  SELECT t.qid, t.pos,
+         CASE WHEN lq.label = lc.label THEN 1 ELSE 0 END AS m
+  FROM cut t
+  JOIN embeddings lq ON lq.vec_id = t.qid
+  JOIN embeddings lc ON lc.vec_id = t.cid
+),
+firsts AS (
+  SELECT qid, min(pos) FILTER (m = 1) AS fp
+  FROM lab GROUP BY qid
+),
+agg AS (
+  SELECT count(*) AS n,
+         sum(CASE WHEN fp <= 1 THEN 1 ELSE 0 END) AS h1,
+         sum(CASE WHEN fp <= 3 THEN 1 ELSE 0 END) AS h3,
+         sum(CASE WHEN fp <= 5 THEN 1 ELSE 0 END) AS h5,
+         sum(CASE WHEN fp <= 10 THEN 1 ELSE 0 END) AS h10,
+         sum(CASE WHEN fp IS NOT NULL THEN 1.0 / fp ELSE 0 END) AS rr
+  FROM firsts
+)
+SELECT n AS n_queries,
+       round(h1 * 1.0 / n, 4) AS acc1,
+       round(h3 * 1.0 / n, 4) AS acc3,
+       round(h5 * 1.0 / n, 4) AS acc5,
+       round(h10 * 1.0 / n, 4) AS acc10,
+       round(rr / n, 4) AS mrr10
+FROM agg
+"""
+    )
+
+
+def retrieve_rerank_metrics_sql() -> str:
+    return _rerank_metrics_sql(mock=False)
+
+
+def mock_rerank_metrics_sql() -> str:
+    return _rerank_metrics_sql(mock=True)

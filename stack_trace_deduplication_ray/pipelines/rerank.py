@@ -330,8 +330,12 @@ def retrieve_rerank_metrics(
     """The full two-stage pipeline as one driver query: LSH retrieval
     top-N -> checkpointed candidate table -> exact-cosine rerank ->
     ranked prediction sink -> Accuracy@k / MRR battery on the sink
-    output. LSH retrieval is probabilistic (seeded) -> rows-only
-    driver check; the metrics row quantifies end-to-end quality.
+    output. Hash-checked end-to-end against
+    eval/sql_oracle.retrieve_rerank_metrics_sql: the SRP-LSH
+    retrieval is exact integer arithmetic, re-ranking happens on the
+    ROUNDED score with candidate-id tie-break, so the whole serving
+    chain is engine-independent; the metrics row quantifies
+    end-to-end quality.
 
     top_n=50 mirrors the reference's index cut
     (ea/sim/dev/scripts/training/arg_parsers.py:12 top-50 default).
@@ -377,6 +381,6 @@ def retrieve_rerank_metrics(
 
 def mock_rerank_metrics(sf_dir: str):
     """P10 as a driver query: the retrieve->sink->eval pipeline with
-    the seeded hash scorer (latency-only mock; deterministic ->
-    rows-only driver check)."""
+    the seeded hash scorer (latency-only mock; hash-checked against
+    eval/sql_oracle.mock_rerank_metrics_sql)."""
     return retrieve_rerank_metrics(sf_dir, mock_scorer=True)
