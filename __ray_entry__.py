@@ -107,6 +107,7 @@ def oracle_sql() -> dict[str, str]:
     # repo's 64-bit hash kernels re-derived in DuckDB integer
     # arithmetic; see eval/sql_oracle.py.
     from stack_trace_deduplication_ray.eval.sql_oracle import (
+        ann_recall_sql,
         embedding_dedup_clusters_sql,
         lsh_near_pairs_sql,
         minhash_dedup_clusters_sql,
@@ -121,6 +122,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_dedup_clusters": embedding_dedup_clusters_sql(),
         "retrieve_rerank_metrics": retrieve_rerank_metrics_sql(),
         "mock_rerank_metrics": mock_rerank_metrics_sql(),
+        "ann_recall": ann_recall_sql(),
         "minhash_dedup_clusters": minhash_dedup_clusters_sql(),
         "substring_candidate_pairs": substring_candidate_pairs_sql(),
         "simhash_text_clusters": simhash_text_clusters_sql(),

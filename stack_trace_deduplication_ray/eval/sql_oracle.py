@@ -852,3 +852,71 @@ def retrieve_rerank_metrics_sql() -> str:
 
 def mock_rerank_metrics_sql() -> str:
     return _rerank_metrics_sql(mock=True)
+
+
+def ann_recall_sql(threshold: float = 0.4, n_queries: int = 64,
+                   sample_seed: int = 17) -> str:
+    """Oracle for pipelines.similarity.ann_recall: candidate recall of
+    the SRP-LSH pair table over the seeded hash-sampled probe set —
+    probes are vec_ids with splitmix64(id ^ seed) % (n // n_queries)
+    == 0, the exact side is every cosine >= threshold pair touching a
+    probe, and recall = |LSH ∩ exact| / |exact| (1.0 when the exact
+    set is empty). Deterministic end to end now that the LSH buckets
+    are exact integer arithmetic."""
+    return (
+        "WITH RECURSIVE "
+        + _lsh_common_ctes()
+        + f"""
+smod AS (
+  SELECT greatest(1, CAST(n // {n_queries} AS BIGINT)) AS m FROM nvec
+),
+pr0 AS (
+  SELECT vec_id, {_xor64("CAST(vec_id AS HUGEINT)", str(sample_seed))} AS c
+  FROM embeddings
+),
+"""
+        + _splitmix_expr_chain("prh", "vec_id", "pr0", "hv")
+        + f"""
+probes AS MATERIALIZED (
+  SELECT vec_id FROM prh
+  WHERE CAST(hv AS UBIGINT) % (SELECT m FROM smod) = 0
+),
+exact AS MATERIALIZED (
+  SELECT DISTINCT least(e.vec_id, p.vec_id) AS src,
+                  greatest(e.vec_id, p.vec_id) AS dst
+  FROM probes p
+  JOIN (
+    SELECT c2.vec_id AS vec_id, p2.vec_id AS pid,
+           sum((c2.x / n2.nrm) * (cp.x / np_.nrm)) AS cos
+    FROM probes p2
+    JOIN comps cp ON cp.vec_id = p2.vec_id
+    JOIN comps c2 ON c2.d = cp.d AND c2.vec_id != p2.vec_id
+    JOIN (SELECT vec_id, greatest(sqrt(sum(x * x)), 1e-12) AS nrm
+          FROM comps GROUP BY vec_id) n2 ON n2.vec_id = c2.vec_id
+    JOIN (SELECT vec_id, greatest(sqrt(sum(x * x)), 1e-12) AS nrm
+          FROM comps GROUP BY vec_id) np_ ON np_.vec_id = p2.vec_id
+    GROUP BY c2.vec_id, p2.vec_id
+  ) e ON e.pid = p.vec_id AND e.cos >= {threshold}
+),
+lsh_touch AS (
+  SELECT s.src, s.dst FROM scored s
+  WHERE s.cos >= {threshold}
+    AND (s.src IN (SELECT vec_id FROM probes)
+         OR s.dst IN (SELECT vec_id FROM probes))
+),
+hits AS (
+  SELECT count(*) AS h FROM exact e
+  WHERE EXISTS (SELECT 1 FROM lsh_touch l
+                WHERE l.src = e.src AND l.dst = e.dst)
+),
+counts AS (
+  SELECT (SELECT count(*) FROM probes) AS nq,
+         (SELECT count(*) FROM exact) AS ne,
+         (SELECT h FROM hits) AS nh
+)
+SELECT nq AS n_queries, ne AS n_exact, nh AS n_hit,
+       CASE WHEN ne > 0 THEN round(nh * 1.0 / ne, 4) ELSE 1.0 END
+         AS recall
+FROM counts
+"""
+    )

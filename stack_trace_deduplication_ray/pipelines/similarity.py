@@ -400,8 +400,9 @@ def ann_recall(
     neighborhood sizes) reach the driver.
 
     Output one row (n_queries, n_exact, n_hit, recall rounded 4);
-    rows-only driver check (the LSH side is probabilistic by design,
-    seeded -> deterministic per config).
+    hash-checked against eval/sql_oracle.ann_recall_sql (the SRP-LSH
+    buckets are exact integer arithmetic, so the whole recall
+    measurement is engine-independent).
     """
     from stack_trace_deduplication_ray.functions import hashing as H
 
