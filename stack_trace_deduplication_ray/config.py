@@ -136,9 +136,18 @@ class DedupConfig:
 
     # --- connected components ----------------------------------------
     # Below this many edges the components are solved driver-side with
-    # path-compressed union-find (exact, one pass); above it the
-    # distributed min-label-propagation loop is used.
-    driver_cc_max_edges: int = 2_000_000
+    # the VECTORIZED numpy union-find (factorize + pointer-jumping
+    # min-propagation, no per-edge Python); above it the distributed
+    # min-label-propagation loop is used. The gate is a DRIVER-MEMORY
+    # bound, not a speed bound: 16M int64 edges stream in at ~256 MB
+    # plus ~2x that for codes/labels — ~1 GB driver peak, seconds of
+    # work. (The old 2M value was sized for the per-edge-loop UF this
+    # replaced; it pushed a 2M-row corpus with ~3M edges onto the
+    # distributed path, which cost 39 of the 59 run minutes at
+    # 8 CPUs. On a real multi-node cluster edges past this gate are
+    # genuinely driver-infeasible and the distributed path is the
+    # design; see stages/cc.py.)
+    driver_cc_max_edges: int = 16_000_000
 
     # stages enabled for the flagship run
     stages: tuple[str, ...] = field(

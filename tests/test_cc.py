@@ -102,3 +102,53 @@ def test_random_graph_distributed_equals_driver(ray_session):
 
     mins = drv.groupby("cluster_id")["image_id"].min()
     assert (mins.index == mins.values).all()
+
+
+def test_contracted_components_driver_finish(ray_session):
+    """Force the contraction tier with a mid-size gate: one local
+    round must shrink the random graph under the gate, and the driver
+    finish + star composition must equal plain driver union-find."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    n = 1500
+    ids = [f"w{i:05d}" for i in range(n)]
+    pairs = []
+    for _ in range(4000):
+        b = int(rng.integers(0, n // 30)) * 30
+        i, j = rng.integers(0, 30, 2)
+        if i != j:
+            pairs.append((ids[b + int(i)], ids[b + int(j)]))
+    for i in range(0, n - 60, 60):
+        pairs.append((ids[i], ids[i + 60]))
+    edges = _edges_ds(pairs)
+    exp = cc_mod.assign_clusters(_ids_ds(ids), edges, DedupConfig()).to_pandas()
+    # gate far below the edge count but far above the contracted size
+    got = cc_mod.assign_clusters(
+        _ids_ds(ids), edges, DedupConfig(driver_cc_max_edges=400)
+    ).to_pandas()
+    assert dict(zip(exp.image_id, exp.cluster_id)) == dict(
+        zip(got.image_id, got.cluster_id)
+    )
+
+
+def test_label_propagation_direct_equals_driver(ray_session):
+    """label_propagation stays covered directly (contraction defers to
+    it when stalled): same randomized graph, same clustering."""
+    import numpy as np
+
+    rng = np.random.default_rng(29)
+    n = 800
+    ids = [f"u{i:05d}" for i in range(n)]
+    pairs = []
+    for _ in range(2000):
+        b = int(rng.integers(0, n // 25)) * 25
+        i, j = rng.integers(0, 25, 2)
+        if i != j:
+            pairs.append((ids[b + int(i)], ids[b + int(j)]))
+    edges = _edges_ds(pairs)
+    exp = cc_mod.driver_union_find(edges)
+    lp = cc_mod.label_propagation(edges, DedupConfig()).to_pandas()
+    got = dict(zip(lp.image_id, lp.cluster_id))
+    for k, v in got.items():
+        assert exp[k] == v
