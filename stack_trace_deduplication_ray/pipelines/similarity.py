@@ -178,10 +178,17 @@ class HyperplaneLSH:
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         ids, mat = _emb_matrix(batch)
-        q = np.floor(mat * float(1 << LSH_QUANT_BITS)).astype(np.int64)
+        # float64 BLAS matmul over INTEGER-VALUED operands: every
+        # product q_i * (±1) and every partial sum is an integer far
+        # below 2^53 (|q| < 2^(QUANT + log2 max|x|) ~ 2^27, dims <<
+        # 2^20), so the float64 result is EXACT regardless of
+        # summation order — int64 determinism at BLAS speed (numpy
+        # integer matmul has no BLAS path and is ~50x slower at wide
+        # dims).
+        q = np.floor(mat * float(1 << LSH_QUANT_BITS))
         out_ids, out_buckets = [], []
         for t in range(self.n_tables):
-            bits = q @ self.planes[t].T > 0
+            bits = q @ self.planes[t].T.astype(np.float64) > 0
             vals = bits @ (1 << np.arange(bits.shape[1], dtype=np.int64))
             out_ids.append(ids)
             out_buckets.append(vals + (t << 32))
