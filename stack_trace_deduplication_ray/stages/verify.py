@@ -105,16 +105,49 @@ def attach_pair_features(
     return join_ds(j1, f_dst, "dst", "__fid" + suffixes[1], cfg)
 
 
+def _unique_shingle_sets(
+    caps: list[str], k: int
+) -> tuple[np.ndarray, list[np.ndarray]]:
+    """Factorize captions and hash each DISTINCT caption exactly once.
+
+    Returns (codes, sets): codes[i] is caption i's distinct-code, and
+    sets[c] the SORTED UNIQUE shingle-hash array of distinct caption
+    c. Verify batches are partitioned by src, so the same caption
+    appears in many pairs of a batch — re-hashing it per pair made
+    the score kernel the flagship's dominant (and memory-bandwidth
+    anti-scaling) phase at 2M rows: 132 s at 8 CPUs but 197 s at 32
+    (32 concurrent re-hash loops saturate one box's DRAM). Hashing
+    per DISTINCT caption cuts the traffic by the pair multiplicity.
+    """
+    import pandas as pd
+
+    codes, uniques = pd.factorize(np.asarray(caps, dtype=object))
+    h, offs = H.shingle_hashes(list(uniques), k)
+    sets = [np.unique(h[offs[i] : offs[i + 1]]) for i in range(len(uniques))]
+    return codes, sets
+
+
 def _jaccard_batch(cap_a: list[str], cap_b: list[str], k: int) -> np.ndarray:
-    """Exact Jaccard over char-k-shingle sets, per pair."""
+    """Exact Jaccard over char-k-shingle sets, per pair (distinct
+    captions hashed once; repeated (a, b) code pairs memoized)."""
     n = len(cap_a)
-    ha, oa = H.shingle_hashes(cap_a, k)
-    hb, ob = H.shingle_hashes(cap_b, k)
+    codes, sets = _unique_shingle_sets(list(cap_a) + list(cap_b), k)
+    ca, cb = codes[:n], codes[n:]
     out = np.zeros(n, dtype=np.float64)
+    cache: dict[tuple[int, int], float] = {}
     for i in range(n):  # candidate pairs only — small relative to corpus
-        out[i] = H.jaccard_from_hash_sets(
-            ha[oa[i] : oa[i + 1]], hb[ob[i] : ob[i + 1]]
-        )
+        key = (int(ca[i]), int(cb[i]))
+        v = cache.get(key)
+        if v is None:
+            sa, sb = sets[ca[i]], sets[cb[i]]
+            if len(sa) == 0 and len(sb) == 0:
+                v = 1.0
+            else:
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                v = float(inter) / float(union) if union else 1.0
+            cache[key] = v
+        out[i] = v
     return out
 
 
@@ -133,17 +166,24 @@ def _substring_batch(
     Returns (keep mask, score) arrays.
     """
     n = len(cap_a)
-    wa, oa = H.shingle_hashes(cap_a, L)
-    wb, ob = H.shingle_hashes(cap_b, L)
+    codes, sets = _unique_shingle_sets(list(cap_a) + list(cap_b), L)
+    ca, cb = codes[:n], codes[n:]
     keep = np.zeros(n, dtype=bool)
     score = np.zeros(n, dtype=np.float64)
+    cache: dict[tuple[int, int], int] = {}
     for i in range(n):  # candidate pairs only — small relative to corpus
         la, lb = len(cap_a[i]), len(cap_b[i])
         if la < L or lb < L:
             continue
-        inter = np.intersect1d(
-            wa[oa[i] : oa[i + 1]], wb[ob[i] : ob[i + 1]]
-        ).size
+        key = (int(ca[i]), int(cb[i]))
+        inter = cache.get(key)
+        if inter is None:
+            inter = int(
+                np.intersect1d(
+                    sets[ca[i]], sets[cb[i]], assume_unique=True
+                ).size
+            )
+            cache[key] = inter
         if inter > 0:
             keep[i] = True
             # score = length of longest shared run, approximated by
