@@ -112,12 +112,29 @@ def oracle_sql() -> dict[str, str]:
         lsh_near_pairs_sql,
         minhash_dedup_clusters_sql,
         mock_rerank_metrics_sql,
+        report_dedup_clusters_sql,
         retrieve_rerank_metrics_sql,
         simhash_text_clusters_sql,
         substring_candidate_pairs_sql,
     )
 
+    # The report oracle parses the raw V1/V0 JSON files in SQL
+    # (read_json_auto), so the fixture the driver's sf0.01 query run
+    # reads must exist before DuckDB executes; write it here (cheap,
+    # deterministic, same (n, seed) as pipelines.text at sf0.01).
+    import os as _os
+
+    from stack_trace_deduplication_ray.sources.reports import (
+        write_reports_fixture,
+    )
+
+    _rep_dir = "/tmp/stack_dedup_fixtures/reports_240"
+    if not _os.path.exists(_os.path.join(_rep_dir, "_DONE")):
+        write_reports_fixture(_rep_dir, n=240, seed=7)
+        open(_os.path.join(_rep_dir, "_DONE"), "w").close()
+
     return {
+        "report_dedup_clusters": report_dedup_clusters_sql(_rep_dir),
         "lsh_near_pairs": lsh_near_pairs_sql(),
         "embedding_dedup_clusters": embedding_dedup_clusters_sql(),
         "retrieve_rerank_metrics": retrieve_rerank_metrics_sql(),

@@ -243,7 +243,15 @@ fps AS MATERIALIZED (
 # NFC + whitespace-collapse normalization (signatures.py
 # normalize_captions with lowercase off), distinct texts keyed by
 # their minimum doc_id — the engine's exact-collapse representative.
-_BASE_CTES = """
+def _norm_expr(lowercase: bool) -> str:
+    """SQL for signatures.normalize_captions: NFC -> optional lower
+    -> whitespace collapse (same operation order as the Python)."""
+    inner = "lower(nfc_normalize(text))" if lowercase else "nfc_normalize(text)"
+    return f"trim(regexp_replace({inner}, '\\s+', ' ', 'g'))"
+
+
+def _base_ctes(lowercase: bool = False) -> str:
+    return f"""
 hexmap AS (
   SELECT lower(lpad(to_hex(v), 2, '0')) AS hx, v AS val
   FROM generate_series(0, 255) t(v)
@@ -252,7 +260,7 @@ norm AS MATERIALIZED (
   SELECT min(doc_id) AS rep, t AS txt, octet_length(encode(t)) AS blen
   FROM (
     SELECT doc_id,
-           trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')) AS t
+           {_norm_expr(lowercase)} AS t
     FROM documents
   )
   GROUP BY t
@@ -267,12 +275,22 @@ bytes AS MATERIALIZED (
 """
 
 
-def _final_ctes(cfg: DedupConfig) -> str:
+_BASE_CTES = _base_ctes(False)
+
+
+def _final_ctes(
+    cfg: DedupConfig, lowercase: bool = False, id_alias: str = "doc_id"
+) -> str:
     """Candidates -> verify -> union edges -> recursive CC -> min-id
-    clusters, relabeled back onto every doc_id."""
+    clusters, relabeled back onto every doc_id. Stage-aware: emits
+    the MinHash and/or substring edge CTEs per ``cfg.stages`` (the
+    exact stage is the norm CTE's distinct-text collapse, always on)."""
+    use_mh = "minhash" in cfg.stages
+    use_ss = "substring" in cfg.stages
+    assert use_mh or use_ss, "need at least one candidate stage"
     frac = Fraction(cfg.jaccard_threshold).limit_denominator(10**6)
     num, den = frac.numerator, frac.denominator
-    return f"""
+    mh = f"""
 cand_mh AS MATERIALIZED (
   SELECT DISTINCT a.rep AS ra, b.rep AS rb
   FROM bandkeys a JOIN bandkeys b ON a.bk = b.bk AND a.rep < b.rep
@@ -297,7 +315,8 @@ mh_edges AS (
   -- engine's float comparison (nearest-double rounding at the only
   -- boundary point is identical in both engines)
   WHERE {den} * i.inter >= {num} * (ca.c + cb.c - i.inter)
-),
+),"""
+    ss = """
 cand_ss AS MATERIALIZED (
   SELECT DISTINCT a.rep AS ra, b.rep AS rb
   FROM fps a JOIN fps b ON a.fp = b.fp AND a.rep < b.rep
@@ -307,9 +326,19 @@ ss_edges AS (
   FROM cand_ss c
   JOIN g32 ga ON ga.rep = c.ra
   JOIN g32 gb ON gb.rep = c.rb AND gb.g = ga.g
-),
+),"""
+    if use_mh and use_ss:
+        union = "SELECT ra, rb FROM mh_edges UNION SELECT ra, rb FROM ss_edges"
+    elif use_mh:
+        union = "SELECT DISTINCT ra, rb FROM mh_edges"
+    else:
+        union = "SELECT ra, rb FROM ss_edges"
+    return (
+        (mh if use_mh else "")
+        + (ss if use_ss else "")
+        + f"""
 alledges AS MATERIALIZED (
-  SELECT ra, rb FROM mh_edges UNION SELECT ra, rb FROM ss_edges
+  {union}
 ),
 edges_u AS MATERIALIZED (
   SELECT ra AS s, rb AS d FROM alledges
@@ -326,13 +355,36 @@ docrep AS (
   SELECT d.doc_id, n.rep
   FROM (
     SELECT doc_id,
-           trim(regexp_replace(nfc_normalize(text), '\\s+', ' ', 'g')) AS t
+           {_norm_expr(lowercase)} AS t
     FROM documents
   ) d JOIN norm n ON n.txt = d.t
 )
-SELECT d.doc_id, CAST(l.cluster AS BIGINT) AS cluster_id
+SELECT d.doc_id AS {id_alias}, CAST(l.cluster AS BIGINT) AS cluster_id
 FROM docrep d JOIN lbl l ON l.id = d.rep
 """
+    )
+
+
+def _dedup_clusters_sql(
+    cfg: DedupConfig,
+    source_cte: str = "",
+    id_alias: str = "doc_id",
+) -> str:
+    """Assemble the full clusters oracle for any ``cfg.stages`` subset
+    of (exact, minhash, substring) over a ``documents(doc_id, text)``
+    relation — the driver's view by default, or a prepended
+    ``source_cte`` named `documents` that shadows it (CTE names take
+    precedence over views in DuckDB)."""
+    use_mh = "minhash" in cfg.stages
+    use_ss = "substring" in cfg.stages
+    s = "WITH RECURSIVE " + source_cte + _base_ctes(cfg.lowercase)
+    if use_mh:
+        s += _gram_chain("g5", cfg.shingle_k)
+    if use_ss:
+        s += _gram_chain("g32", cfg.substring_min_len) + _winnow_ctes(cfg)
+    if use_mh:
+        s += _perm_values(cfg) + _SIG_CTES + _band_chain(cfg)
+    return s + _final_ctes(cfg, cfg.lowercase, id_alias)
 
 
 def minhash_dedup_clusters_sql(cfg: DedupConfig | None = None) -> str:
@@ -346,17 +398,45 @@ def minhash_dedup_clusters_sql(cfg: DedupConfig | None = None) -> str:
 
         cfg = TEXT_DEDUP_CONFIG
     assert not cfg.lowercase, "oracle encodes the no-lowercase text path"
-    return (
-        "WITH RECURSIVE "
-        + _BASE_CTES
-        + _gram_chain("g5", cfg.shingle_k)
-        + _gram_chain("g32", cfg.substring_min_len)
-        + _winnow_ctes(cfg)
-        + _perm_values(cfg)
-        + _SIG_CTES
-        + _band_chain(cfg)
-        + _final_ctes(cfg)
-    )
+    return _dedup_clusters_sql(cfg)
+
+
+# MethodNameUnifier (sources/reports.py unify_method_name, reference
+# ea/sim/main/data/parsers/base.py:21-32) as three chained RE2
+# replaces; `\\10` parses as group 1 + literal '0' (RE2 rewrites use
+# single-digit group refs).
+_UNIFY_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace(n, "
+    "'(\\$)((?:0(?:x|\\.)[abcdef\\d]+|\\d+)(?:/(?:0(?:x|\\.)[abcdef\\d]+|\\d+))*)',"
+    " '\\10', 'gi'), "
+    "'(Generated\\w{0,50}Accessor)(\\d+)', '\\10', 'g'), "
+    "'(\\$Proxy)(\\d+)', '\\10', 'g')"
+)
+
+
+def report_dedup_clusters_sql(fixture_dir: str) -> str:
+    """Oracle for pipelines.text.report_dedup_clusters: raw V1/V0
+    JSON report files parsed IN SQL (read_json_auto + list_transform
+    + the MethodNameUnifier regex chain), caption = ' -> '-joined
+    unified frames, then the exact+minhash clusters statement on the
+    lowercase text path. The fixture dir must exist when the oracle
+    runs — __ray_entry__.oracle_sql() writes it."""
+    cfg = DedupConfig(stages=("exact", "minhash"))
+    src = f"""documents AS MATERIALIZED (
+  SELECT CAST(id AS BIGINT) AS doc_id,
+         array_to_string(
+           list_transform(
+             CASE WHEN elements IS NOT NULL
+                  THEN list_transform(elements, e -> e.name)
+                  ELSE frames END,
+             n -> {_UNIFY_SQL}
+           ),
+           ' -> '
+         ) AS text
+  FROM read_json_auto('{fixture_dir}/*.json', union_by_name=true)
+),
+"""
+    return _dedup_clusters_sql(cfg, source_cte=src, id_alias="report_id")
 
 
 # Per-doc variant of the normalization CTEs: no distinct-text

@@ -473,11 +473,12 @@ def substring_pairs_exact(sf_dir: str, cfg: DedupConfig = TEXT_DEDUP_CONFIG):
 def report_dedup_clusters(sf_dir: str):
     """Raw V1/V0 JSON report ingestion -> dedup clusters end-to-end
     (S3/S4 source operators + the text engine): a deterministic raw
-    report fixture sized by sf is written under /tmp, ingested with
+    report fixture is written under /tmp, ingested with
     sources.reports.read_reports (binary-file source + vectorized
     parse + MethodNameUnifier), and clustered. Output
-    (report_id, cluster_id); rows-only driver check (raw-file
-    ingestion has no SQL view)."""
+    (report_id, cluster_id); ★ oracle — the DuckDB side re-parses the
+    same raw JSON files in SQL (read_json_auto + the unifier regex
+    chain, eval/sql_oracle.report_dedup_clusters_sql)."""
     import os
 
     from stack_trace_deduplication_ray.pipelines.dedup import run_dedup
@@ -487,7 +488,11 @@ def report_dedup_clusters(sf_dir: str):
         write_reports_fixture,
     )
 
-    n = 60 if "0.001" in sf_dir else (240 if "0.01" in sf_dir else 960)
+    # One fixed fixture size at every sf: the DuckDB oracle
+    # (eval/sql_oracle.report_dedup_clusters_sql) embeds this exact
+    # path, and oracle parity requires both engines to read the same
+    # raw files regardless of which sf dir the driver runs at.
+    n = 240
     d = f"/tmp/stack_dedup_fixtures/reports_{n}"
     if not os.path.exists(os.path.join(d, "_DONE")):
         write_reports_fixture(d, n=n, seed=7)
