@@ -79,12 +79,13 @@ def _id_map(images_ds):
     )
 
 
-def _apply_labels_with_names(id_map, labels: dict, cfg: DedupConfig):
+def _apply_labels_with_names(id_map, labels, cfg: DedupConfig):
     """Driver-CC fast path: cluster assignment AND original-name
     restore in ONE shuffle-free map pass over the id map.
 
-    `labels`: {iid -> root_iid} for every node with >= 1 edge (the
-    driver union-find output). The single pass emits
+    `labels`: (iids, root_iids) int64 array pair, one entry per node
+    with >= 1 edge (driver_union_find_arrays output — arrays end to
+    end, no boxed-int dict). The single pass emits
     (image_id=orig, cluster_id=orig) directly for singletons (they
     name themselves) and side-channels the TOUCHED rows' (iid, orig)
     to a driver-owned collector actor — touched volume is bounded by
@@ -104,7 +105,8 @@ def _apply_labels_with_names(id_map, labels: dict, cfg: DedupConfig):
     import ray
     import ray.data as rd
 
-    if not labels:
+    keys, roots = labels
+    if not len(keys):
         def identity(batch: pa.Table) -> pa.Table:
             return pa.table(
                 {
@@ -115,8 +117,6 @@ def _apply_labels_with_names(id_map, labels: dict, cfg: DedupConfig):
 
         return id_map.map_batches(identity, batch_format="pyarrow")
 
-    keys = np.fromiter(labels.keys(), dtype=np.int64, count=len(labels))
-    roots = np.fromiter(labels.values(), dtype=np.int64, count=len(labels))
     order = np.argsort(keys)
     keys, roots = keys[order], roots[order]
     ref = ray.put((keys, roots))
@@ -453,7 +453,7 @@ def run_dedup(
     if id_is_str and edges.count() <= cfg.driver_cc_max_edges:
         # fast path: driver union-find + broadcast name restore —
         # zero exchanges after the edge table
-        labels = cc_mod.driver_union_find(edges)
+        labels = cc_mod.driver_union_find_arrays(edges)
         clusters = _apply_labels_with_names(id_map, labels, cfg)
     else:
         clusters = cc_mod.assign_clusters(

@@ -46,8 +46,8 @@ from stack_trace_deduplication_ray.stages.joins import join_ds, resolve_partitio
 logger = logging.getLogger(__name__)
 
 
-def driver_union_find(edges) -> dict[str, str]:
-    """Stream edges to the driver, return {node: min-member label}.
+def driver_union_find_arrays(edges) -> tuple[np.ndarray, np.ndarray]:
+    """Pull edges to the driver, return (nodes, min-member labels).
 
     Vectorized: node ids are factorized to int codes, then min-label
     propagation with pointer jumping runs over the WHOLE edge array in
@@ -55,20 +55,37 @@ def driver_union_find(edges) -> dict[str, str]:
     per-edge Python loop. Labels live in rank space (rank = position
     in the sorted unique-id order) so the minimum label is exactly the
     lexicographic min member id, matching the keep-first rule.
+
+    The pull is ``to_arrow_refs()`` on the materialized edge table +
+    one parallel ``ray.get`` (zero-copy plasma reads on one node) —
+    NOT a streamed per-block select: the round-4 2M-row profile
+    measured the streamed pull at 22.6 s on the 32-CPU leg vs 10.2 s
+    at 8 CPUs (per-block task launch grows with the
+    parallelism-induced block count; this path is flat in it). Extra
+    columns beyond src/dst (the int8 stage code) ride along unread —
+    cheaper than a select wave.
     """
+    import ray as _ray
+
     from stack_trace_deduplication_ray.functions import hashing as H
 
     srcs, dsts = [], []
-    for batch in edges.select_columns(["src", "dst"]).iter_batches(
-        batch_size=262144, batch_format="pyarrow"
-    ):
-        srcs.append(H.ids_np(batch.column("src").combine_chunks()))
-        dsts.append(H.ids_np(batch.column("dst").combine_chunks()))
+    for t in _ray.get(edges.materialize().to_arrow_refs()):
+        if t.num_rows == 0:
+            continue
+        srcs.append(H.ids_np(t.column("src").combine_chunks()))
+        dsts.append(H.ids_np(t.column("dst").combine_chunks()))
     if not srcs:
-        return {}
+        return np.empty(0, np.int64), np.empty(0, np.int64)
     s = np.concatenate(srcs)
     d = np.concatenate(dsts)
-    uniques, roots = _uf_min_roots(s, d)
+    return _uf_min_roots(s, d)
+
+
+def driver_union_find(edges) -> dict[str, str]:
+    """Dict view of ``driver_union_find_arrays`` (tests / small
+    graphs; hot paths use the array form — no boxed-int dict)."""
+    uniques, roots = driver_union_find_arrays(edges)
     return dict(zip(uniques, roots))
 
 
@@ -328,22 +345,15 @@ def contracted_components(edges, cfg: DedupConfig, max_rounds: int = 4):
         # shuffle-native propagation loop on the (smaller) graph
         final = label_propagation(e, cfg)
     else:
-        labels = driver_union_find(e)
-        nodes = list(labels.keys())
-        idt = (
-            pa.int64()
-            if nodes and isinstance(nodes[0], (int, np.integer))
-            else pa.string()
-        )
+        uu, rr = driver_union_find_arrays(e)
+        idt = pa.int64() if uu.dtype == np.int64 else pa.string()
         import ray.data as rd
 
         final = rd.from_arrow(
             pa.table(
                 {
-                    "image_id": pa.array(nodes, type=idt),
-                    "cluster_id": pa.array(
-                        [labels[k] for k in nodes], type=idt
-                    ),
+                    "image_id": pa.array(uu, type=idt),
+                    "cluster_id": pa.array(rr, type=idt),
                 }
             )
         )
@@ -409,18 +419,13 @@ def assign_clusters(all_ids_ds, edges, cfg: DedupConfig):
     (image_id, cluster_id); singletons label themselves."""
     n_edges = edges.count()
     if n_edges <= cfg.driver_cc_max_edges:
-        labels = driver_union_find(edges)
+        uu, rr = driver_union_find_arrays(edges)
         # broadcast ONLY the non-identity assignments as two parallel
         # sorted arrays: serializes ~10x smaller and faster than a
         # dict of every touched node, and per-batch lookup is a
         # vectorized searchsorted instead of a hashtable probe per row
-        nonself = [(k, v) for k, v in labels.items() if k != v]
-        is_int = bool(nonself) and isinstance(
-            nonself[0][0], (int, np.integer)
-        )
-        kdt = np.int64 if is_int else object
-        nk = np.asarray([k for k, _ in nonself], dtype=kdt)
-        nv = np.asarray([v for _, v in nonself], dtype=kdt)
+        mask = uu != rr
+        nk, nv = uu[mask], rr[mask]
         order = np.argsort(nk)
         ref = ray.put((nk[order], nv[order]))
 
