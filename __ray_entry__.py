@@ -53,6 +53,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": text.corpus_stats,
         "minhash_dedup_clusters": text.minhash_dedup_clusters,
         "simhash_text_clusters": text.simhash_text_clusters,
+        "cluster_size_histogram": text.cluster_size_histogram,
         "jaccard_pairs_by_source": text.jaccard_pairs_by_source,
         "substring_candidate_pairs": text.substring_candidate_pairs,
         "substring_pairs_exact": text.substring_pairs_exact,
@@ -108,6 +109,7 @@ def oracle_sql() -> dict[str, str]:
     # arithmetic; see eval/sql_oracle.py.
     from stack_trace_deduplication_ray.eval.sql_oracle import (
         ann_recall_sql,
+        cluster_size_histogram_sql,
         embedding_dedup_clusters_sql,
         lsh_near_pairs_sql,
         minhash_dedup_clusters_sql,
@@ -143,6 +145,7 @@ def oracle_sql() -> dict[str, str]:
         "minhash_dedup_clusters": minhash_dedup_clusters_sql(),
         "substring_candidate_pairs": substring_candidate_pairs_sql(),
         "simhash_text_clusters": simhash_text_clusters_sql(),
+        "cluster_size_histogram": cluster_size_histogram_sql(),
         "exact_dedup_keep_first": """
             SELECT min(doc_id) AS keep_id, count(*) AS n
             FROM documents GROUP BY text

@@ -401,6 +401,18 @@ def minhash_dedup_clusters_sql(cfg: DedupConfig | None = None) -> str:
     return _dedup_clusters_sql(cfg)
 
 
+def cluster_size_histogram_sql(cfg: DedupConfig | None = None) -> str:
+    """Oracle for pipelines.text.cluster_size_histogram: the clusters
+    statement wrapped in size-then-histogram GROUP BYs."""
+    return (
+        "SELECT c AS cluster_size,"
+        " CAST(count(*) AS BIGINT) AS n_clusters FROM ("
+        "SELECT cluster_id, CAST(count(*) AS BIGINT) AS c FROM ("
+        + minhash_dedup_clusters_sql(cfg)
+        + ") GROUP BY cluster_id) GROUP BY c"
+    )
+
+
 # MethodNameUnifier (sources/reports.py unify_method_name, reference
 # ea/sim/main/data/parsers/base.py:21-32) as three chained RE2
 # replaces; `\\10` parses as group 1 + literal '0' (RE2 rewrites use

@@ -477,11 +477,16 @@ def cluster_summary(clusters) -> pa.Table:
     Reference analog: per-issue report histograms,
     /root/reference/helpers/print_dataset_sizes.py:11-60.
     """
-    sizes = clusters.groupby("cluster_id").count()
-    hist = sizes.groupby("count()").count()
-    t = hist.to_pandas()
-    t.columns = ["cluster_size", "n_clusters"][: len(t.columns)]
-    return pa.Table.from_pandas(t.sort_values("cluster_size"), preserve_index=False)
+    from ray.data.aggregate import Count
+
+    sizes = clusters.groupby("cluster_id").aggregate(
+        Count(alias_name="cluster_size")
+    )
+    hist = sizes.groupby("cluster_size").aggregate(
+        Count(alias_name="n_clusters")
+    )
+    t = hist.to_pandas().sort_values("cluster_size")
+    return pa.Table.from_pandas(t, preserve_index=False)
 
 
 def _fixture_rows_for_sf(sf_dir: str) -> int:

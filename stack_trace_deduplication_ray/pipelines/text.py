@@ -470,6 +470,17 @@ def substring_pairs_exact(sf_dir: str, cfg: DedupConfig = TEXT_DEDUP_CONFIG):
     )
 
 
+def cluster_size_histogram(sf_dir: str):
+    """A11 histogram as a ★ query: cluster-size distribution of the
+    flagship minhash clusters (reference per-issue report histograms,
+    /root/reference/helpers/print_dataset_sizes.py:11-60). Output
+    (cluster_size, n_clusters); the oracle wraps the machine-generated
+    clusters statement in two GROUP BYs."""
+    from stack_trace_deduplication_ray.pipelines.dedup import cluster_summary
+
+    return cluster_summary(minhash_dedup_clusters(sf_dir))
+
+
 def report_dedup_clusters(sf_dir: str):
     """Raw V1/V0 JSON report ingestion -> dedup clusters end-to-end
     (S3/S4 source operators + the text engine): a deterministic raw
