@@ -101,7 +101,6 @@ def _apply_labels_with_names(id_map, labels, cfg: DedupConfig):
     that fixed cost is what pins the single-box scaling efficiency
     (BASELINE.md per-phase table). No joins, no exchanges.
     """
-    import pandas as pd
     import ray
     import ray.data as rd
 
@@ -123,9 +122,13 @@ def _apply_labels_with_names(id_map, labels, cfg: DedupConfig):
 
     @ray.remote(num_cpus=0)
     class _TouchedCollector:
-        """Accumulates the touched (iid, orig) rows; content is
-        deduplicated by iid at collect time, so map-task retries
-        (which resend identical content) are harmless."""
+        """Accumulates the touched (iid, orig) rows — the orig side
+        stays an ARROW string array end to end (never boxed to Python
+        objects; the round-4 2M profile measured the boxed
+        to_pylist + pandas object-min path at 10-23 s of driver time
+        vs ~0.3 s for the Arrow kernels). Content is deduplicated by
+        iid at collect time, so map-task retries (which resend
+        identical content) are harmless."""
 
         def __init__(self):
             self._iids = []
@@ -137,11 +140,14 @@ def _apply_labels_with_names(id_map, labels, cfg: DedupConfig):
 
         def collect(self):
             if not self._iids:
-                return np.empty(0, np.int64), np.empty(0, object)
+                return np.empty(0, np.int64), pa.array([], type=pa.string())
             ii = np.concatenate(self._iids)
-            oo = np.concatenate(self._origs)
+            oo = pa.concat_arrays(
+                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+                 for a in self._origs]
+            )
             _, first = np.unique(ii, return_index=True)
-            return ii[first], oo[first]
+            return ii[first], oo.take(pa.array(first))
 
     collector = _TouchedCollector.remote()
 
@@ -157,9 +163,7 @@ def _apply_labels_with_names(id_map, labels, cfg: DedupConfig):
             # touched row has landed on the collector
             ray.get(collector.add.remote(
                 iids[hit],
-                np.asarray(
-                    orig.filter(pa.array(hit)).to_pylist(), dtype=object
-                ),
+                orig.filter(pa.array(hit)).combine_chunks(),
             ))
             orig = orig.filter(pa.array(~hit))
         return pa.table({"image_id": orig, "cluster_id": orig})
@@ -171,16 +175,21 @@ def _apply_labels_with_names(id_map, labels, cfg: DedupConfig):
     ii, oo = ray.get(collector.collect.remote())
     ray.kill(collector)
     root_of = roots[np.searchsorted(keys, ii)]  # exact hits by construction
-    names = pd.DataFrame({"root": root_of, "name": oo}).groupby(
-        "root", sort=True
-    )["name"].min()
-    nroot = names.index.to_numpy(dtype=np.int64)
-    nname = names.to_numpy()
-    cluster = nname[np.searchsorted(nroot, root_of)]
+    # component name = MIN original id over members: Arrow hash-min on
+    # the string column (C++), then an Arrow take per member row
+    g = (
+        pa.table({"root": pa.array(root_of), "name": oo})
+        .group_by("root")
+        .aggregate([("name", "min")])
+        .sort_by("root")
+    )
+    nroot = g.column("root").to_numpy()
+    pos = np.searchsorted(nroot, root_of)
+    cluster = g.column("name_min").combine_chunks().take(pa.array(pos))
     touched = pa.table(
         {
-            "image_id": pa.array(oo, type=pa.string()),
-            "cluster_id": pa.array(cluster, type=pa.string()),
+            "image_id": oo.cast(pa.string()),
+            "cluster_id": cluster.cast(pa.string()),
         }
     )
     # chunk the driver-built table so no single block is outsized
