@@ -54,8 +54,16 @@ class DedupConfig:
     #   "combo"  — HmSearch-style combination keys over
     #              `simhash_combo_sub` sub-chunks taken
     #              `simhash_combo_r` at a time (20 keys/row at (6,3),
-    #              ~2^32 space): no birthday saturation until ~1e11
-    #              rows. Complete for Hamming <= n_sub - r (= 3).
+    #              ~2^32 space). Complete for Hamming <= n_sub - r
+    #              (= 3). Random birthday PAIR volume grows
+    #              quadratically in total keys: ~K^2 / 2^33 candidate
+    #              pairs for K = 20n keys — negligible at 2M rows
+    #              (~190k pairs), 4x that at 4M (measured: the 4M
+    #              BASELINE pair's candidate/verify inflation). A
+    #              10^9+ deployment widens the space via (sub, r) —
+    #              (8, 4) spends 70 keys/row for ~8-bit sub-chunks, or
+    #              fewer, wider sub-chunks push past 2^40 — trading
+    #              key multiplicity against the quadratic term.
     #   "auto"   — resolved per run from the corpus row count against
     #              `simhash_wide_threshold_rows` (the measured knee).
     # Both schemes generate a SUPERSET of all radius-<=3 pairs and the
