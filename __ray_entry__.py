@@ -89,6 +89,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lsh_near_pairs": similarity.lsh_near_pairs,
         "ann_recall": similarity.ann_recall,
         "ivf_knn": similarity.ivf_knn,
+        "ivf_recall": similarity.ivf_recall,
         "embedding_dedup_clusters": similarity.embedding_dedup_clusters,
         "knn_label_accuracy": similarity.knn_label_accuracy,
         # --- ranked-prediction evaluator battery ----------------------

@@ -636,37 +636,14 @@ def _kmeans_fit(mat: np.ndarray, n_centroids: int, seed: int = 7,
     return cents
 
 
-def ivf_knn(
-    sf_dir: str,
-    query_vec_id: int = 0,
-    k: int = 10,
-    n_centroids: int = 8,
-    n_probe: int = 4,
-    fit_sample: int = 4096,
-):
-    """IVF (inverted-file) approximate kNN — the coarse-quantizer scale
-    path beside the hyperplane-LSH one (build brief: "an IVF or
-    LSH-bucketed variant"): k-means centroids fit once on a sample
-    (driver-side, seeded), broadcast; every batch assigns its vectors
-    to the nearest centroid and only vectors in the query's `n_probe`
-    closest lists are scored exactly. At scale the assignment column
-    is the partitioning key (one groupby materializes the inverted
-    lists); the probe is a vectorized per-batch mask here.
-
-    With n_probe == n_centroids the output EXACTLY equals
-    knn_brute_force (tested); smaller n_probe trades recall for
-    scanned volume. Output (vec_id, cos rounded 4) sorted desc,
-    self excluded; rows-only driver check (approximate by design).
-    """
+def _ivf_fit(ds, n_vec: int, n_centroids: int, fit_sample: int) -> np.ndarray:
+    """Fit-once IVF coarse quantizer: HASH-sample across the whole
+    table -> seeded k-means -> centroid matrix (caller broadcasts).
+    A head-of-storage sample would bias the centroids on
+    label/cluster-ordered tables (and probe-limited recall with it);
+    the hash sample is order-independent and deterministic."""
     from stack_trace_deduplication_ray.functions import hashing as H
 
-    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
-
-    # ---- fit-once: HASH-sample across the whole table -> centroids ->
-    # broadcast. A head-of-storage sample would bias the centroids on
-    # label/cluster-ordered tables (and probe-limited recall with it);
-    # the hash sample is order-independent and deterministic.
-    n_vec = ds.count()
     smod = max(1, n_vec // max(1, fit_sample))
 
     def fit_filter(batch: pa.Table) -> pa.Table:
@@ -694,7 +671,163 @@ def ivf_knn(
     sample = sample / np.maximum(
         np.linalg.norm(sample, axis=1, keepdims=True), 1e-12
     )
-    cents = _kmeans_fit(sample, n_centroids)
+    return _kmeans_fit(sample, n_centroids)
+
+
+def ivf_recall(
+    sf_dir: str,
+    k: int = 10,
+    n_queries: int = 16,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    fit_sample: int = 4096,
+    sample_seed: int = 23,
+):
+    """Recall@k of the IVF path vs exact brute force, over a seeded
+    hash-sampled probe set — the IVF sibling of `ann_recall`'s
+    quantified quality proxy.
+
+    ONE distributed pass computes BOTH sides: each batch scores its
+    vectors against the broadcast Q x d probe matrix (O(N*Q), never
+    N x N), emits per-query top-k partials twice — unrestricted
+    (exact) and masked to the query's `n_probe` nearest inverted
+    lists (IVF) — and the driver merges the (blocks x Q x k x 2)
+    partial rows with one lexsort. recall = |ivf top-k ∩ exact
+    top-k| / (Q*k). Output one row (n_queries, k, n_probe,
+    n_centroids, recall rounded 4); rows-only driver check
+    (approximate by design)."""
+    from stack_trace_deduplication_ray.functions import hashing as H
+
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_vec = ds.count()
+    cents = _ivf_fit(ds, n_vec, n_centroids, fit_sample)
+
+    # seeded probe sample (ann_recall's shape)
+    mod = max(1, n_vec // max(1, n_queries))
+
+    def probe_filter(batch: pa.Table) -> pa.Table:
+        ids = batch.column("vec_id").to_numpy(zero_copy_only=False)
+        mask = (
+            H.hash_ids(ids.astype(np.int64), seed=sample_seed)
+            % np.uint64(mod)
+            == 0
+        )
+        return batch.filter(pa.array(mask))
+
+    p_ids_l, p_mats = [], []
+    for b in ds.map_batches(probe_filter, batch_format="pyarrow").iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        i, m = _emb_matrix(b)
+        p_ids_l.append(i)
+        p_mats.append(m)
+    p_ids = (
+        np.concatenate(p_ids_l).astype(np.int64)
+        if p_ids_l
+        else np.empty(0, np.int64)
+    )
+    assert len(p_ids), "query sample is empty"
+    q = np.concatenate(p_mats).astype(np.float64)
+    qn = q / np.maximum(np.linalg.norm(q, axis=1, keepdims=True), 1e-12)
+    # per-query probed lists: bool mask (n_centroids, Q)
+    aff = cents @ qn.T  # (C, Q)
+    nprobe = min(n_probe, len(cents))
+    top_c = np.argsort(-aff, axis=0)[:nprobe]  # (nprobe, Q)
+    probe_mask = np.zeros((len(cents), len(p_ids)), dtype=bool)
+    probe_mask[top_c, np.arange(len(p_ids))[None, :]] = True
+    ref = ray.put((cents, p_ids, qn, probe_mask))
+
+    def partials(batch: pa.Table) -> pa.Table:
+        cents_l, q_ids, qv, pm = ray.get(ref)
+        ids, mat = _emb_matrix(batch)
+        if not len(ids):
+            return pa.table(
+                {
+                    "q": pa.array([], type=pa.int64()),
+                    "ivf": pa.array([], type=pa.int8()),
+                    "vec_id": pa.array([], type=pa.int64()),
+                    "cos": pa.array([], type=pa.float64()),
+                }
+            )
+        nm = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12
+        )
+        sims = nm @ qv.T  # (b, Q)
+        sims[ids[:, None].astype(np.int64) == q_ids[None, :]] = -np.inf
+        assign = (nm @ cents_l.T).argmax(axis=1)
+        in_probe = pm[assign]  # (b, Q) bool
+        kk = min(k, len(ids))
+        qs, fl, vi, co = [], [], [], []
+        for flag, s in ((0, sims), (1, np.where(in_probe, sims, -np.inf))):
+            top = np.argpartition(-s, kk - 1, axis=0)[:kk]  # (kk, Q)
+            cols = np.broadcast_to(np.arange(s.shape[1]), top.shape)
+            v = s[top, cols]
+            keep = np.isfinite(v)
+            qs.append(cols[keep])
+            fl.append(np.full(int(keep.sum()), flag, dtype=np.int8))
+            vi.append(ids[top[keep]].astype(np.int64))
+            co.append(v[keep])
+        return pa.table(
+            {
+                "q": pa.array(np.concatenate(qs).astype(np.int64)),
+                "ivf": pa.array(np.concatenate(fl)),
+                "vec_id": pa.array(np.concatenate(vi)),
+                "cos": pa.array(np.concatenate(co)),
+            }
+        )
+
+    t = ds.map_batches(partials, batch_format="pyarrow").to_pandas()
+    qcol = t["q"].to_numpy()
+    fcol = t["ivf"].to_numpy()
+    vcol = t["vec_id"].to_numpy()
+    ccol = t["cos"].to_numpy()
+    # global per-(q, flag) top-k: one lexsort, positions within runs
+    o = np.lexsort((vcol, -ccol, fcol, qcol))
+    qs_, fs_, vs_ = qcol[o], fcol[o], vcol[o]
+    grp = qs_.astype(np.int64) * 2 + fs_
+    starts = np.r_[0, np.nonzero(np.diff(grp))[0] + 1]
+    pos = np.arange(len(grp)) - np.repeat(starts, np.diff(np.r_[starts, len(grp)]))
+    kept = pos < k
+    exact_keys = set(zip(qs_[kept & (fs_ == 0)], vs_[kept & (fs_ == 0)]))
+    ivf_keys = set(zip(qs_[kept & (fs_ == 1)], vs_[kept & (fs_ == 1)]))
+    denom = max(1, len(exact_keys))
+    rec = len(exact_keys & ivf_keys) / denom
+    return pa.table(
+        {
+            "n_queries": pa.array([len(p_ids)], type=pa.int64()),
+            "k": pa.array([k], type=pa.int64()),
+            "n_probe": pa.array([nprobe], type=pa.int64()),
+            "n_centroids": pa.array([len(cents)], type=pa.int64()),
+            "recall": pa.array([round(rec, 4)], type=pa.float64()),
+        }
+    )
+
+
+def ivf_knn(
+    sf_dir: str,
+    query_vec_id: int = 0,
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 4,
+    fit_sample: int = 4096,
+):
+    """IVF (inverted-file) approximate kNN — the coarse-quantizer scale
+    path beside the hyperplane-LSH one (build brief: "an IVF or
+    LSH-bucketed variant"): k-means centroids fit once on a sample
+    (driver-side, seeded), broadcast; every batch assigns its vectors
+    to the nearest centroid and only vectors in the query's `n_probe`
+    closest lists are scored exactly. At scale the assignment column
+    is the partitioning key (one groupby materializes the inverted
+    lists); the probe is a vectorized per-batch mask here.
+
+    With n_probe == n_centroids the output EXACTLY equals
+    knn_brute_force (tested); smaller n_probe trades recall for
+    scanned volume. Output (vec_id, cos rounded 4) sorted desc,
+    self excluded; rows-only driver check (approximate by design).
+    """
+    ds = read_table(sf_dir, "embeddings", columns=["vec_id", "embedding"])
+    n_vec = ds.count()
+    cents = _ivf_fit(ds, n_vec, n_centroids, fit_sample)
     cents_ref = ray.put(cents)
 
     # ---- query vector + probed lists ----------------------------------

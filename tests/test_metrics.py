@@ -176,6 +176,22 @@ def test_ivf_knn_partial_probe_recall(ray_session):
     assert len(set(approx.vec_id) & exact) >= 3
 
 
+def test_ivf_recall_full_probe_is_one(ray_session):
+    """The sampled recall@k measurement itself: full probing must
+    report recall exactly 1.0 (ivf top-k == exact top-k per query),
+    partial probing lands in (0, 1] and is deterministic."""
+    from stack_trace_deduplication_ray.pipelines.similarity import ivf_recall
+
+    sf = "/root/testdata/sf0.001"
+    full = ivf_recall(sf, n_centroids=8, n_probe=8).to_pandas()
+    assert float(full.recall.iloc[0]) == 1.0
+    part = ivf_recall(sf, n_centroids=8, n_probe=4).to_pandas()
+    r = float(part.recall.iloc[0])
+    assert 0.0 < r <= 1.0
+    part2 = ivf_recall(sf, n_centroids=8, n_probe=4).to_pandas()
+    assert part.equals(part2)
+
+
 def test_sampled_eval_path_activates_and_matches_full(ray_session):
     """Forcing max_broadcast_rows below the corpus size must activate
     the sampled-query transposed path (the scale gate of verdict r2
