@@ -194,16 +194,19 @@ def run_bench() -> dict:
 def run_scaling(record: bool) -> dict:
     """Same flagship job at 8 and 32 CPUs in fresh processes.
 
-    Defaults to 500k rows: the scaling criterion needs an input where
-    compute dominates fixed per-exchange latency (at the 8k
-    quick-bench size the job is overhead-bound and CPUs are idle at
-    both levels)."""
+    Defaults to 2M rows — the scale of the recorded BASELINE.md pair:
+    the criterion needs an input where compute dominates fixed
+    per-exchange latency (at the 8k quick-bench size the job is
+    overhead-bound at both levels; 500k leaves the exchange floor
+    visible; 4M pushes the combo-key random-collision term into the
+    shared memory bus — see BASELINE.md). Override with
+    GRAFT_SCALING_ROWS."""
     results = {}
     for cpus in (8, 32):
         env = dict(os.environ)
         env["RAY_GRAFT_CPUS"] = str(cpus)
         env["GRAFT_SF_DIR"] = SF_DIR
-        env.setdefault("GRAFT_SCALING_ROWS", "500000")
+        env.setdefault("GRAFT_SCALING_ROWS", "2000000")
         out = subprocess.run(
             [sys.executable, __file__, "--flagship-only"],
             capture_output=True, text=True, env=env,
