@@ -59,13 +59,19 @@ class DedupConfig:
     #              quadratically in total keys: ~K^2 / 2^33 candidate
     #              pairs for K = 20n keys — negligible at 2M rows
     #              (~190k pairs), 4x that at 4M (measured: the 4M
-    #              BASELINE pair's candidate/verify inflation). A
-    #              10^9+ deployment widens the space via (sub, r) —
-    #              (8, 4) spends 70 keys/row for ~8-bit sub-chunks, or
-    #              fewer, wider sub-chunks push past 2^40 — trading
-    #              key multiplicity against the quadratic term.
+    #              BASELINE pair's candidate/verify inflation). Above
+    #              `simhash_combo_widen_rows` auto widens to
+    #              (`simhash_combo_wide_sub`, `simhash_combo_wide_r`)
+    #              = (8, 5): 56 keys/row but 5x8 = 40 entropy bits per
+    #              key, shrinking the quadratic term 2^8x — at 4M rows
+    #              ~56^2*n^2/2^41 ≈ 23k random pairs vs ~750k at
+    #              (6, 3); still complete for Hamming <= 8 - 5 = 3.
+    #              Key multiplicity (2.8x exchange volume on the
+    #              simhash expansion) is linear in n; the collision
+    #              term it buys down is quadratic.
     #   "auto"   — resolved per run from the corpus row count against
-    #              `simhash_wide_threshold_rows` (the measured knee).
+    #              `simhash_wide_threshold_rows` (the measured knee),
+    #              then widened past `simhash_combo_widen_rows`.
     # Both schemes generate a SUPERSET of all radius-<=3 pairs and the
     # in-bucket Hamming test filters exactly, so the verified edge set
     # — and the clustering — is identical between modes (tested).
@@ -74,6 +80,12 @@ class DedupConfig:
     simhash_combo_sub: int = 6
     simhash_combo_r: int = 3
     simhash_wide_threshold_rows: int = 600_000
+    # second auto tier: widen the combo scheme where the (6,3)
+    # quadratic random-collision term starts to inflate verify volume
+    # (the measured 4M-row regime; see BASELINE.md)
+    simhash_combo_wide_sub: int = 8
+    simhash_combo_wide_r: int = 5
+    simhash_combo_widen_rows: int = 3_000_000
     hamming_radius: int = 3
     psnr_threshold_db: float = 40.0  # per input_hint: PSNR>=40dB for lossy
 
@@ -179,6 +191,14 @@ class DedupConfig:
             raise ValueError(
                 "combination probing is complete only for hamming_radius "
                 "<= simhash_combo_sub - simhash_combo_r"
+            )
+        if self.hamming_radius > (
+            self.simhash_combo_wide_sub - self.simhash_combo_wide_r
+        ):
+            raise ValueError(
+                "wide combination probing is complete only for "
+                "hamming_radius <= simhash_combo_wide_sub - "
+                "simhash_combo_wide_r"
             )
 
 

@@ -282,12 +282,21 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
         mode = (
             "combo" if n_rows > cfg.simhash_wide_threshold_rows else "chunks"
         )
+        repl = {"simhash_mode": mode}
         if mode == "combo":
+            if n_rows > cfg.simhash_combo_widen_rows:
+                # second tier: wider sub-chunks kill the quadratic
+                # random-collision term (config.py SCALE NOTE)
+                repl["simhash_combo_sub"] = cfg.simhash_combo_wide_sub
+                repl["simhash_combo_r"] = cfg.simhash_combo_wide_r
             logger.info(
-                "simhash auto mode: %d rows > %d -> combination keys",
+                "simhash auto mode: %d rows > %d -> combination keys "
+                "(sub=%d, r=%d)",
                 n_rows, cfg.simhash_wide_threshold_rows,
+                repl.get("simhash_combo_sub", cfg.simhash_combo_sub),
+                repl.get("simhash_combo_r", cfg.simhash_combo_r),
             )
-        cfg = dataclasses.replace(cfg, simhash_mode=mode)
+        cfg = dataclasses.replace(cfg, **repl)
 
     def checkpointed(name, thunk):
         if ckpt is None:

@@ -55,7 +55,9 @@ _CAND_FIELDS = (
     "lowercase", "shingle_k", "num_perm", "minhash_seed", "bands",
     "rows_per_band", "simhash_mode", "simhash_chunks",
     "simhash_combo_sub", "simhash_combo_r",
-    "simhash_wide_threshold_rows", "substring_min_len", "winnow_window",
+    "simhash_wide_threshold_rows", "simhash_combo_wide_sub",
+    "simhash_combo_wide_r", "simhash_combo_widen_rows",
+    "substring_min_len", "winnow_window",
     "bucket_cap", "salt_target", "hot_sample_mod", "stages",
 )
 STAGE_DEPENDS: dict[str, tuple[str, ...]] = {

@@ -145,12 +145,14 @@ def test_simhash_combo_keys_complete_radius3():
         for i in range(len(y)):
             for b in rng.choice(64, size=d, replace=False):
                 y[i] ^= np.uint64(1) << np.uint64(b)
-        kx = H.simhash_combo_keys(x)
-        ky = H.simhash_combo_keys(y)
-        assert all(
-            np.intersect1d(kx[i], ky[i]).size > 0 for i in range(len(x))
-        ), f"missed a pair at distance {d}"
+        for sub, r in ((6, 3), (8, 5)):  # base and wide auto tiers
+            kx = H.simhash_combo_keys(x, sub, r)
+            ky = H.simhash_combo_keys(y, sub, r)
+            assert all(
+                np.intersect1d(kx[i], ky[i]).size > 0 for i in range(len(x))
+            ), f"missed a pair at distance {d} for ({sub}, {r})"
     assert H.simhash_combo_keys(x).shape == (300, 20)
+    assert H.simhash_combo_keys(x, 8, 5).shape == (300, 56)
 
 
 def test_simhash_combo_mode_clusters_equal_chunks(ray_session):
@@ -173,9 +175,23 @@ def test_simhash_combo_mode_clusters_equal_chunks(ray_session):
     auto_wide = dataclasses.replace(
         DedupConfig(), simhash_wide_threshold_rows=10
     )  # auto resolves to combo at 1000 rows
+    combo_wide = DedupConfig(
+        simhash_mode="combo", simhash_combo_sub=8, simhash_combo_r=5
+    )  # the (8, 5) wide tier forced directly
+    auto_widest = dataclasses.replace(
+        DedupConfig(),
+        simhash_wide_threshold_rows=10,
+        simhash_combo_widen_rows=100,
+    )  # auto resolves to the WIDE combo tier at 1000 rows
     out = {}
-    for name, cfg in (("chunks", base), ("combo", combo), ("auto", auto_wide)):
+    for name, cfg in (
+        ("chunks", base),
+        ("combo", combo),
+        ("auto", auto_wide),
+        ("combo-wide", combo_wide),
+        ("auto-widest", auto_widest),
+    ):
         c = run_dedup(images, cfg)["clusters"].to_pandas()
         out[name] = c.sort_values("image_id").reset_index(drop=True)
-    assert out["chunks"].equals(out["combo"])
-    assert out["chunks"].equals(out["auto"])
+    for name in ("combo", "auto", "combo-wide", "auto-widest"):
+        assert out["chunks"].equals(out[name]), name
