@@ -36,6 +36,16 @@ def main(argv: list[str] | None = None) -> int:
     ap.add_argument("--num-partitions", type=int, default=0)
     args = ap.parse_args(argv)
 
+    # surface the library's per-stage lineage logs (auto key-scheme
+    # resolution, CC contraction progress, hot-bucket salting) in the
+    # job driver's output; the library itself never touches handlers
+    import logging
+
+    logging.basicConfig(
+        level=logging.INFO,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+
     import ray
 
     if not ray.is_initialized():

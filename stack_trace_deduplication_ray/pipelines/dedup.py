@@ -297,6 +297,17 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
                 repl.get("simhash_combo_r", cfg.simhash_combo_r),
             )
         cfg = dataclasses.replace(cfg, **repl)
+        # resolved scheme -> run stats (and the job manifest): the
+        # auto decision is per-run lineage, not static config
+        stats.append(
+            {
+                "stage": "simhash_key_scheme",
+                "mode": cfg.simhash_mode,
+                "combo_sub": cfg.simhash_combo_sub,
+                "combo_r": cfg.simhash_combo_r,
+                "rows": int(n_rows),
+            }
+        )
 
     def checkpointed(name, thunk):
         if ckpt is None:
