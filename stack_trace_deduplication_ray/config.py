@@ -56,19 +56,24 @@ class DedupConfig:
     #              `simhash_combo_r` at a time (20 keys/row at (6,3),
     #              ~2^32 space). Complete for Hamming <= n_sub - r
     #              (= 3). Random birthday PAIR volume grows
-    #              quadratically in total keys: ~K^2 / 2^33 candidate
-    #              pairs for K = 20n keys — negligible at 2M rows
-    #              (~190k pairs), 4x that at 4M (measured: the 4M
-    #              BASELINE pair's candidate/verify inflation). Above
-    #              `simhash_combo_widen_rows` auto widens to
-    #              (`simhash_combo_wide_sub`, `simhash_combo_wide_r`)
-    #              = (8, 5): 56 keys/row but 5x8 = 40 entropy bits per
-    #              key, shrinking the quadratic term 2^8x — at 4M rows
-    #              ~56^2*n^2/2^41 ≈ 23k random pairs vs ~750k at
-    #              (6, 3); still complete for Hamming <= 8 - 5 = 3.
-    #              Key multiplicity (2.8x exchange volume on the
-    #              simhash expansion) is linear in n; the collision
-    #              term it buys down is quadratic.
+    #              quadratically PER COMBINATION (keys from different
+    #              combinations cannot collide — the combination index
+    #              is folded into the hash): ~C(sub,r) * n^2 /
+    #              2^(entropy+1) with entropy = bits covered by r
+    #              sub-chunks. At (6, 3) that is 20 * n^2 / 2^33 —
+    #              ~19k random pairs at 4M rows (negligible; the 4M
+    #              A/B below confirms), ~12M at 1e8, ~1.2e9 at 1e9
+    #              (dominant). Above `simhash_combo_widen_rows` auto
+    #              widens to (`simhash_combo_wide_sub`,
+    #              `simhash_combo_wide_r`) = (8, 5): 56 keys/row but
+    #              5x8 = 40 entropy bits per key — 46x fewer random
+    #              pairs at any n — still complete for Hamming <= 3.
+    #              The threshold sits at 1e8 because the wide tier's
+    #              2.8x key multiplicity is a real LINEAR cost paid
+    #              immediately (measured at 4M/32 CPUs: (6,3) 493.5 s
+    #              vs (8,5) 544-636 s, identical 3,960,250 clusters)
+    #              while the collision term it buys down only matters
+    #              from ~1e8 rows up.
     #   "auto"   — resolved per run from the corpus row count against
     #              `simhash_wide_threshold_rows` (the measured knee),
     #              then widened past `simhash_combo_widen_rows`.
@@ -81,11 +86,12 @@ class DedupConfig:
     simhash_combo_r: int = 3
     simhash_wide_threshold_rows: int = 600_000
     # second auto tier: widen the combo scheme where the (6,3)
-    # quadratic random-collision term starts to inflate verify volume
-    # (the measured 4M-row regime; see BASELINE.md)
+    # quadratic random-collision term overtakes the wide scheme's
+    # linear key-multiplicity cost (~1e8 rows; see the mode comment
+    # and BASELINE.md's 4M A/B)
     simhash_combo_wide_sub: int = 8
     simhash_combo_wide_r: int = 5
-    simhash_combo_widen_rows: int = 3_000_000
+    simhash_combo_widen_rows: int = 100_000_000
     hamming_radius: int = 3
     psnr_threshold_db: float = 40.0  # per input_hint: PSNR>=40dB for lossy
 
