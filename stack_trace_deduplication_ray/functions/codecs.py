@@ -255,7 +255,6 @@ def resize_area(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
     return cells / np.maximum(counts, 1)
 
 
-_DCT32 = _dct_matrix(32)
 _BIT_POWERS = (np.uint64(1) << np.arange(63, -1, -1, dtype=np.uint64))
 
 
@@ -278,15 +277,6 @@ def phash64(img: np.ndarray) -> int:
     g = resize_area(to_gray(img), 8, 9)
     bits = (g[:, :-1] > g[:, 1:]).flatten()
     return _bits_to_i64(bits)
-
-
-def phash64_dct(img: np.ndarray) -> int:
-    """Classic 8x8 DCT-sign pHash (kept for parity experiments)."""
-    g = resize_area(to_gray(img), 32, 32)
-    coef = _DCT32 @ g @ _DCT32.T
-    low = coef[:8, :8]
-    med = np.median(low.flatten()[1:])  # skip DC
-    return _bits_to_i64(low.flatten() > med)
 
 
 # ------------------------------------------------------------- WAV PCM

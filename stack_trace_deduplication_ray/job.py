@@ -70,12 +70,16 @@ def main(argv: list[str] | None = None) -> int:
         input_id=os.path.abspath(args.input),
     )
     os.makedirs(args.output, exist_ok=True)
+    from stack_trace_deduplication_ray.state.checkpoint import _parquet_rows
+
     res["clusters"].write_parquet(os.path.join(args.output, "clusters"))
     res["edges"].write_parquet(os.path.join(args.output, "edges"))
     manifest = {
         "input": os.path.abspath(args.input),
-        "rows": res["clusters"].count(),
-        "edges": res["edges"].count(),
+        # counts from the written footers — .count() on the lazy
+        # clusters dataset would re-execute the apply stage
+        "rows": _parquet_rows(os.path.join(args.output, "clusters")),
+        "edges": _parquet_rows(os.path.join(args.output, "edges")),
         "stats": res["stats"],
         "config": {k: (list(v) if isinstance(v, tuple) else v)
                    for k, v in vars(cfg).items()},

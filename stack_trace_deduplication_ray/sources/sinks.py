@@ -40,7 +40,10 @@ def write_ranked_predictions(
         )
         return g.groupby("query_id", sort=False).head(k)
 
-    out = partitioned_groups(predictions, "query_id", topk, cfg)
+    # materialize once: write_parquet and the manifest row count would
+    # otherwise each EXECUTE the lazy top-k exchange (2x the shuffle);
+    # the truncated output is small (n_queries x k rows) by construction
+    out = partitioned_groups(predictions, "query_id", topk, cfg).materialize()
     os.makedirs(path, exist_ok=True)
     out.write_parquet(path)
     manifest = {

@@ -39,16 +39,6 @@ def _expand_table(ids: np.ndarray, buckets_2d: np.ndarray) -> pa.Table:
     )
 
 
-def expand_exact(sigs_ds):
-    def fn(batch: pa.Table) -> pa.Table:
-        b = batch.column("exact_hash").to_numpy(zero_copy_only=False).view(U64)
-        return _expand_table(H.ids_np(batch.column("image_id").combine_chunks()), b[:, None])
-
-    return sigs_ds.select_columns(["image_id", "exact_hash"]).map_batches(
-        fn, batch_format="pyarrow"
-    )
-
-
 def expand_minhash(sigs_ds, cfg: DedupConfig):
     def fn(batch: pa.Table) -> pa.Table:
         keys = H.fixed_from_binary(

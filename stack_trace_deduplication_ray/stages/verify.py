@@ -192,24 +192,6 @@ def _substring_batch(
     return keep, score
 
 
-def verify_minhash(edges, sigs, cfg: DedupConfig):
-    """Keep pairs with exact shingle Jaccard >= cfg.jaccard_threshold."""
-    feats = sigs.select_columns(["image_id", "caption_norm"])
-    paired = attach_pair_features(edges, feats, cfg, dedup_pairs=True)
-
-    def score(batch: pa.Table) -> pa.Table:
-        jac = _jaccard_batch(
-            batch.column("caption_norm_src").to_pylist(),
-            batch.column("caption_norm_dst").to_pylist(),
-            cfg.shingle_k,
-        )
-        keep = jac >= cfg.jaccard_threshold
-        out = batch.select(["src", "dst", "stage"]).filter(pa.array(keep))
-        return out.append_column("score", pa.array(jac[keep], type=pa.float64()))
-
-    return paired.map_batches(score, batch_format="pyarrow")
-
-
 def verify_substring(edges, sigs, cfg: DedupConfig):
     """Keep pairs sharing an exact >=L-char substring (rolling-hash
     L-gram set intersection; 64-bit collisions are negligible and the
@@ -226,63 +208,6 @@ def verify_substring(edges, sigs, cfg: DedupConfig):
         return out.append_column("score", pa.array(score_v[keep], type=pa.float64()))
 
     return paired.map_batches(score, batch_format="pyarrow")
-
-
-def verify_simhash(edges, sigs, images, cfg: DedupConfig):
-    """Two-step image verify: cheap Hamming(simhash) <= radius filter,
-    then decode + PSNR >= threshold on the survivors only."""
-    feats = sigs.select_columns(["image_id", "simhash"])
-    paired = attach_pair_features(edges, feats, cfg)
-    r = cfg.hamming_radius
-
-    def hamming_filter(batch: pa.Table) -> pa.Table:
-        d = H.hamming64(
-            batch.column("simhash_src").to_numpy(zero_copy_only=False).view(U64),
-            batch.column("simhash_dst").to_numpy(zero_copy_only=False).view(U64),
-        )
-        keep = d <= r
-        out = batch.select(["src", "dst", "stage"]).filter(pa.array(keep))
-        return out.append_column(
-            "hamming", pa.array(d[keep], type=pa.int64())
-        )
-
-    # materialize: prunes candidates before the heavy `bytes` join and
-    # caps the number of concurrent join aggregator pools at two
-    near = paired.map_batches(hamming_filter, batch_format="pyarrow").materialize()
-
-    payload = images.select_columns(["image_id", "bytes", "fmt"])
-    with_payload = attach_pair_features(near, payload, cfg)
-
-    def psnr_check(batch: pa.Table) -> pa.Table:
-        ba = batch.column("bytes_src").to_pylist()
-        bb = batch.column("bytes_dst").to_pylist()
-        fa = batch.column("fmt_src").to_pylist()
-        fb = batch.column("fmt_dst").to_pylist()
-        ham = batch.column("hamming").to_numpy(zero_copy_only=False)
-        n = len(ba)
-        keep = np.zeros(n, dtype=bool)
-        score_v = np.zeros(n, dtype=np.float64)
-        for i in range(n):
-            try:
-                pa_img = C.decode_image(ba[i], fa[i])
-                pb_img = C.decode_image(bb[i], fb[i])
-            except Exception:
-                continue  # undecodable payload: reject pair, never crash
-            if pa_img.shape != pb_img.shape:
-                continue
-            p = C.psnr(pa_img, pb_img)
-            if p >= cfg.psnr_threshold_db:
-                keep[i] = True
-                # score in (0, 1]: exact match (inf dB) -> 1
-                score_v[i] = 1.0 if p == float("inf") else min(1.0, p / 100.0)
-        out = batch.select(["src", "dst", "stage"]).filter(pa.array(keep))
-        return out.append_column("score", pa.array(score_v[keep], type=pa.float64()))
-
-    return with_payload.map_batches(
-        psnr_check,
-        batch_format="pyarrow",
-        batch_size=cfg.image_batch_size,
-    )
 
 
 def verify_simhash_psnr(edges, sigs, cfg: DedupConfig):
@@ -433,17 +358,3 @@ def verify_fused(edges, sigs, cfg: DedupConfig, has_image: bool):
         )
 
     return paired.map_batches(score, batch_format="pyarrow")
-
-
-def finalize_exact(edges):
-    """Exact edges need no verification: the bucket key is a content
-    hash of (caption, bytes); score = 1.0."""
-
-    def fn(batch: pa.Table) -> pa.Table:
-        return batch.set_column(
-            batch.schema.get_field_index("score"),
-            "score",
-            pa.array(np.ones(len(batch)), type=pa.float64()),
-        )
-
-    return edges.map_batches(fn, batch_format="pyarrow")

@@ -25,6 +25,19 @@ from dataclasses import asdict
 from stack_trace_deduplication_ray.config import DedupConfig
 
 
+def _parquet_rows(path: str) -> int:
+    """Row count of a written parquet directory from file FOOTERS only
+    (no data scan, no plan execution)."""
+    import pyarrow.parquet as pq
+
+    total = 0
+    for root, _, files in os.walk(path):
+        for f in files:
+            if f.endswith(".parquet"):
+                total += pq.read_metadata(os.path.join(root, f)).num_rows
+    return total
+
+
 def config_fingerprint(cfg: DedupConfig, extra: str = "") -> str:
     """Deterministic fingerprint of the dedup configuration (+ an
     input identifier supplied by the caller)."""
@@ -165,7 +178,10 @@ class StageCheckpoint:
 
             shutil.rmtree(path)
         ds.write_parquet(path)
-        rows = ds.count()
+        # row count from the WRITTEN files' parquet footers: calling
+        # ds.count() here would re-execute the stage's whole lazy plan
+        # (measured: the rerank retrieval stage ran twice per cold run)
+        rows = _parquet_rows(path)
         with self._lock:
             self._manifest[stage] = {
                 "fingerprint": self._fp(stage),
