@@ -145,3 +145,40 @@ def test_partial_crash_resume(ray_session, small_fixture_dir, tmp_path):
     # exact stage untouched (loaded), verify stage recomputed
     assert man2["exact_edges"]["completed_at"] == man1["exact_edges"]["completed_at"]
     assert man2["verified_edges"]["completed_at"] >= man1["verified_edges"]["completed_at"]
+
+
+def test_save_executes_plan_exactly_once(ray_session, tmp_path):
+    """StageCheckpoint.save must not re-execute the stage's lazy plan
+    for the manifest row count (at 2M rows a second execution doubles
+    the stage cost; the count comes from the written parquet footers)."""
+    import pyarrow as pa
+    import ray
+    import ray.data as rd
+
+    @ray.remote
+    class Counter:
+        def __init__(self):
+            self.n = 0
+
+        def incr(self, k):
+            self.n += k
+            return self.n
+
+        def get(self):
+            return self.n
+
+    counter = Counter.remote()
+
+    def bump(batch: pa.Table) -> pa.Table:
+        ray.get(counter.incr.remote(len(batch)))
+        return batch
+
+    n_rows = 100
+    ds = rd.range(n_rows).map_batches(bump, batch_format="pyarrow")
+    ck = StageCheckpoint(str(tmp_path), "fp-once")
+    ck.save("stage_once", ds)
+    man = json.load(open(os.path.join(str(tmp_path), "manifest.json")))
+    assert man["stage_once"]["rows"] == n_rows
+    # every input row mapped exactly once: write executed the plan,
+    # the manifest count did NOT
+    assert ray.get(counter.get.remote()) == n_rows
