@@ -227,6 +227,10 @@ def run_scaling(record: bool) -> dict:
         "throughput_32": results[32]["images_per_sec"],
         "recall_8": results[8].get("dup_pair_recall"),
         "recall_32": results[32].get("dup_pair_recall"),
+        "host_calib_8": [results[8].get("host_calib_pre_sec"),
+                         results[8].get("host_calib_post_sec")],
+        "host_calib_32": [results[32].get("host_calib_pre_sec"),
+                          results[32].get("host_calib_post_sec")],
         "rows": results[32]["rows"],
         "sf": SF_DIR,
     }
@@ -259,10 +263,30 @@ def _record_baseline(summary: dict) -> None:
         f.write(content + block)
 
 
+def host_calibration() -> float:
+    """Single-core host-weather probe: seconds for a fixed
+    memory-bandwidth-bound pass (3x sum over 64 MB + 16 MB blake2b).
+    On an uncontended window this is stable; a shared-host contention
+    spike inflates it the same way it inflates the measured pipeline
+    phases — recording it beside each scaling leg makes the
+    host-window quality of a pair quantitative instead of asserted."""
+    import hashlib
+
+    import numpy as np
+
+    a = np.arange(64 * 1024 * 1024, dtype=np.uint8)  # deterministic fill
+    t0 = time.time()
+    for _ in range(3):
+        int(a.sum())
+    hashlib.blake2b(a[: 16 * 1024 * 1024].tobytes()).digest()
+    return round(time.time() - t0, 3)
+
+
 def run_flagship_only() -> dict:
     """One flagship image-dedup run; used by --scaling subprocesses."""
     _init_ray(NUM_CPUS)
     n_rows = int(os.environ.get("GRAFT_SCALING_ROWS", str(IMAGE_BENCH_ROWS)))
+    calib_pre = host_calibration()
     t, n = bench_image_dedup(n_rows)
     return {
         "flagship_sec": round(t, 3),
@@ -270,6 +294,8 @@ def run_flagship_only() -> dict:
         "rows": n_rows,
         "num_cpus": NUM_CPUS,
         "dup_pair_recall": getattr(bench_image_dedup, "last_recall", None),
+        "host_calib_pre_sec": calib_pre,
+        "host_calib_post_sec": host_calibration(),
     }
 
 

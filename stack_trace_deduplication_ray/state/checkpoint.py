@@ -28,14 +28,21 @@ from stack_trace_deduplication_ray.config import DedupConfig
 def _parquet_rows(path: str) -> int:
     """Row count of a written parquet directory from file FOOTERS only
     (no data scan, no plan execution)."""
+    return sum(_parquet_partition_rows(path).values())
+
+
+def _parquet_partition_rows(path: str) -> dict[str, int]:
+    """Per-partition (per written file) row counts from parquet
+    footers — the per-partition lineage record for stage manifests."""
     import pyarrow.parquet as pq
 
-    total = 0
+    out: dict[str, int] = {}
     for root, _, files in os.walk(path):
         for f in files:
             if f.endswith(".parquet"):
-                total += pq.read_metadata(os.path.join(root, f)).num_rows
-    return total
+                p = os.path.join(root, f)
+                out[os.path.relpath(p, path)] = pq.read_metadata(p).num_rows
+    return out
 
 
 def config_fingerprint(cfg: DedupConfig, extra: str = "") -> str:
@@ -178,14 +185,18 @@ class StageCheckpoint:
 
             shutil.rmtree(path)
         ds.write_parquet(path)
-        # row count from the WRITTEN files' parquet footers: calling
+        # counts from the WRITTEN files' parquet footers: calling
         # ds.count() here would re-execute the stage's whole lazy plan
-        # (measured: the rerank retrieval stage ran twice per cold run)
-        rows = _parquet_rows(path)
+        # (measured: the rerank retrieval stage ran twice per cold run).
+        # The per-file map is the per-partition lineage record — a
+        # resumed or audited run can check each partition's row count
+        # against the manifest without scanning data.
+        parts = _parquet_partition_rows(path)
         with self._lock:
             self._manifest[stage] = {
                 "fingerprint": self._fp(stage),
-                "rows": rows,
+                "rows": sum(parts.values()),
+                "partitions": dict(sorted(parts.items())),
                 "completed_at": time.strftime("%Y-%m-%dT%H:%M:%S"),
             }
             self._store_manifest()
