@@ -231,6 +231,10 @@ def run_scaling(record: bool) -> dict:
                          results[8].get("host_calib_post")],
         "host_calib_32": [results[32].get("host_calib_pre"),
                           results[32].get("host_calib_post")],
+        "steal_pct_8": results[8].get("steal_pct"),
+        "steal_pct_32": results[32].get("steal_pct"),
+        "iowait_pct_8": results[8].get("iowait_pct"),
+        "iowait_pct_32": results[32].get("iowait_pct"),
         "rows": results[32]["rows"],
         "sf": SF_DIR,
     }
@@ -325,12 +329,35 @@ def host_calibration() -> dict:
     }
 
 
+def _proc_stat() -> list[int] | None:
+    """Aggregate cpu line of /proc/stat (user nice system idle iowait
+    irq softirq steal ...), or None off-Linux."""
+    try:
+        with open("/proc/stat") as f:
+            return [int(x) for x in f.readline().split()[1:]]
+    except (OSError, ValueError):
+        return None
+
+
 def run_flagship_only() -> dict:
     """One flagship image-dedup run; used by --scaling subprocesses."""
     _init_ray(NUM_CPUS)
     n_rows = int(os.environ.get("GRAFT_SCALING_ROWS", str(IMAGE_BENCH_ROWS)))
     calib_pre = host_calibration()
+    s0 = _proc_stat()
     t, n = bench_image_dedup(n_rows)
+    s1 = _proc_stat()
+    stat = {}
+    if s0 and s1:
+        d = [b - a for a, b in zip(s0, s1)]
+        tot = max(1, sum(d))
+        # steal = ticks the host ran someone else while this guest was
+        # runnable — external contention measured exactly over the
+        # flagship interval, with zero probe load
+        stat = {
+            "steal_pct": round(100.0 * d[7] / tot, 2) if len(d) > 7 else None,
+            "iowait_pct": round(100.0 * d[4] / tot, 2) if len(d) > 4 else None,
+        }
     return {
         "flagship_sec": round(t, 3),
         "images_per_sec": round(n_rows / t, 1),
@@ -339,6 +366,7 @@ def run_flagship_only() -> dict:
         "dup_pair_recall": getattr(bench_image_dedup, "last_recall", None),
         "host_calib_pre": calib_pre,
         "host_calib_post": host_calibration(),
+        **stat,
     }
 
 
