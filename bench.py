@@ -143,6 +143,8 @@ def run_bench() -> dict:
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
 
+    calib_pre = host_calibration()
+    s0 = _proc_stat()
     t0 = time.time()
     t_img, n_img = bench_image_dedup(IMAGE_BENCH_ROWS)
     times["dedup_images_e2e"] = round(t_img, 3)
@@ -179,6 +181,18 @@ def run_bench() -> dict:
     throughput = {
         "images_per_sec": round(IMAGE_BENCH_ROWS / t_img, 1),
     }
+    # host-window stamp: identical code measures up to ~2.5x apart on
+    # this shared host depending on bus weather (BASELINE.md); the
+    # probe + steal let a reader judge THIS run's window quality
+    s1 = _proc_stat()
+    host = {"calib_pre": calib_pre, "calib_post": host_calibration()}
+    if s0 and s1:
+        d = [b - a for a, b in zip(s0, s1)]
+        tot = max(1, sum(d))
+        if len(d) > 7:
+            host["steal_pct"] = round(100.0 * d[7] / tot, 2)
+        if len(d) > 4:
+            host["iowait_pct"] = round(100.0 * d[4] / tot, 2)
     return {
         "metric": "headline_pipelines_total",
         "value": total,
@@ -186,6 +200,7 @@ def run_bench() -> dict:
         "queries": times,
         "rows": rows,
         "throughput": throughput,
+        "host": host,
         "sf": SF_DIR,
         "num_cpus": NUM_CPUS,
     }
