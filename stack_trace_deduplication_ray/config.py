@@ -211,6 +211,28 @@ class DedupConfig:
 DEFAULT_CONFIG = DedupConfig()
 
 
+def partitions_for_rows(cfg: DedupConfig, n_rows: int) -> DedupConfig:
+    """Row-aware exchange width for SMALL inputs.
+
+    The default width (joins.resolve_partitions: 2 tasks/core, 64 at
+    32 CPUs) is right at scale, but every partitioned exchange pays a
+    fixed per-partition sort/merge task cost — for a few-thousand-row
+    evaluation table that is 64 near-empty tasks per exchange, and the
+    rerank/LSH eval queries chain 3-4 exchanges. Below 32k rows the
+    width shrinks to ceil(rows / 2000) clamped to [4, 16); at or above
+    32k rows the config is returned unchanged (num_partitions stays 0
+    -> the scale default resolves at call time). Derived expansions
+    (pair tables, postings) are bounded multiples of the input, so
+    per-partition volume stays trivially small. No effect when the
+    caller pinned num_partitions explicitly."""
+    import dataclasses
+
+    if cfg.num_partitions or n_rows >= 32_000:
+        return cfg
+    p = max(4, -(-n_rows // 2000))
+    return dataclasses.replace(cfg, num_partitions=p)
+
+
 def coalesce_for_rows(cfg: DedupConfig, n_rows: int) -> DedupConfig:
     """Size-gate the exchange coalesce: below `coalesce_min_rows` the
     extra all-to-all barrier per exchange costs more than the tiny-

@@ -15,6 +15,7 @@ def sized_cfg(sf_dir: str, table: str, cfg=None):
     from stack_trace_deduplication_ray.config import (
         DedupConfig,
         coalesce_for_rows,
+        partitions_for_rows,
     )
 
     cfg = cfg or DedupConfig()
@@ -22,7 +23,8 @@ def sized_cfg(sf_dir: str, table: str, cfg=None):
     try:
         import pyarrow.parquet as pq
 
-        return coalesce_for_rows(cfg, pq.read_metadata(path).num_rows)
+        n = pq.read_metadata(path).num_rows
+        return partitions_for_rows(coalesce_for_rows(cfg, n), n)
     except Exception:
         return cfg
 
