@@ -136,7 +136,7 @@ def oracle_sql() -> dict[str, str]:
         write_reports_fixture(_rep_dir, n=240, seed=7)
         open(_os.path.join(_rep_dir, "_DONE"), "w").close()
 
-    return {
+    sqls = {
         "report_dedup_clusters": report_dedup_clusters_sql(_rep_dir),
         "lsh_near_pairs": lsh_near_pairs_sql(),
         "embedding_dedup_clusters": embedding_dedup_clusters_sql(),
@@ -722,3 +722,11 @@ def oracle_sql() -> dict[str, str]:
             WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.4
         """,
     }
+    # the full evaluator battery = union of its two deterministic
+    # halves (the engine side composes the same halves off one ranks
+    # pass; the driver's compare is row-order-insensitive)
+    sqls["retrieval_threshold_metrics"] = (
+        f"SELECT * FROM ({sqls['threshold_fbeta_auc']}) "
+        f"UNION ALL SELECT * FROM ({sqls['bootstrap_acc1_ci']})"
+    )
+    return sqls

@@ -219,7 +219,7 @@ def partitions_for_rows(cfg: DedupConfig, n_rows: int) -> DedupConfig:
     fixed per-partition sort/merge task cost — for a few-thousand-row
     evaluation table that is 64 near-empty tasks per exchange, and the
     rerank/LSH eval queries chain 3-4 exchanges. Below 32k rows the
-    width shrinks to ceil(rows / 2000) clamped to [4, 16); at or above
+    width shrinks to ceil(rows / 2000) clamped to [4, 16]; at or above
     32k rows the config is returned unchanged (num_partitions stays 0
     -> the scale default resolves at call time). Derived expansions
     (pair tables, postings) are bounded multiples of the input, so

@@ -70,16 +70,26 @@ def main(argv: list[str] | None = None) -> int:
         input_id=os.path.abspath(args.input),
     )
     os.makedirs(args.output, exist_ok=True)
-    from stack_trace_deduplication_ray.state.checkpoint import _parquet_rows
+    import shutil
 
+    from stack_trace_deduplication_ray.state.checkpoint import parquet_rows
+
+    # Ray writes uniquely-named files per run: clear each subdir first
+    # so a rerun into the same --output never mixes stale parquet from
+    # a previous run into the footer counts below (mirrors
+    # StageCheckpoint.save).
+    for sub in ("clusters", "edges"):
+        p = os.path.join(args.output, sub)
+        if os.path.isdir(p):
+            shutil.rmtree(p)
     res["clusters"].write_parquet(os.path.join(args.output, "clusters"))
     res["edges"].write_parquet(os.path.join(args.output, "edges"))
     manifest = {
         "input": os.path.abspath(args.input),
         # counts from the written footers — .count() on the lazy
         # clusters dataset would re-execute the apply stage
-        "rows": _parquet_rows(os.path.join(args.output, "clusters")),
-        "edges": _parquet_rows(os.path.join(args.output, "edges")),
+        "rows": parquet_rows(os.path.join(args.output, "clusters")),
+        "edges": parquet_rows(os.path.join(args.output, "edges")),
         "stats": res["stats"],
         "config": {k: (list(v) if isinstance(v, tuple) else v)
                    for k, v in vars(cfg).items()},

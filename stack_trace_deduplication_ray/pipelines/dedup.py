@@ -138,6 +138,14 @@ def _apply_labels_with_names(id_map, labels, cfg: DedupConfig):
             self._iids.append(iids)
             self._origs.append(origs)
 
+        def n_unique(self) -> int:
+            """Distinct touched iids received so far — the driver's
+            completion barrier (every touched iid occurs exactly once
+            in the id map, so complete == len(labels))."""
+            if not self._iids:
+                return 0
+            return int(np.unique(np.concatenate(self._iids)).size)
+
         def collect(self):
             if not self._iids:
                 return np.empty(0, np.int64), pa.array([], type=pa.string())
@@ -159,18 +167,38 @@ def _apply_labels_with_names(id_map, labels, cfg: DedupConfig):
         hit = k[pos_c] == iids
         orig = batch.column("orig_id")
         if hit.any():
-            # blocking add: when this map wave completes, every
-            # touched row has landed on the collector
-            ray.get(collector.add.remote(
+            # fire-and-forget: no per-batch round-trip through the
+            # single collector mailbox (at 32+ CPUs the blocking
+            # ray.get serialized every map task's add; on a wide
+            # cluster that RTT becomes a per-batch latency term).
+            # Delivery is awaited below by COUNT, not per call.
+            collector.add.remote(
                 iids[hit],
                 orig.filter(pa.array(hit)).combine_chunks(),
-            ))
+            )
             orig = orig.filter(pa.array(~hit))
         return pa.table({"image_id": orig, "cluster_id": orig})
 
     singles = id_map.map_batches(
         emit_singletons, batch_format="pyarrow"
-    ).materialize()  # barrier: forces every collector.add to complete
+    ).materialize()  # barrier: every map task has SUBMITTED its adds
+
+    # completeness barrier for the in-flight fire-and-forget adds:
+    # every touched iid occurs exactly once in the id map, so the
+    # collector is complete exactly when its distinct-iid count
+    # reaches len(keys); map-task retries only resend duplicates
+    # (deduplicated at collect). Poll instead of per-batch ray.get —
+    # the touched volume is driver-sized, so n_unique is cheap.
+    import time as _time
+
+    deadline = _time.time() + 300.0
+    while ray.get(collector.n_unique.remote()) < len(keys):
+        if _time.time() > deadline:
+            raise RuntimeError(
+                "touched-row collector incomplete after map wave "
+                "(lost fire-and-forget actor message?)"
+            )
+        _time.sleep(0.02)
 
     ii, oo = ray.get(collector.collect.remote())
     ray.kill(collector)

@@ -7,12 +7,13 @@ queries over the embeddings table:
 - retrieval_rank_metrics ★: rank of the first correct-label candidate
   in the cosine top-10 per query -> Accuracy@{1,3,5,10} + MRR@10
   (SQL-expressible, DuckDB oracle).
-- retrieval_threshold_metrics: the attach-vs-new battery — y_true =
+- retrieval_threshold_metrics ★: the attach-vs-new battery — y_true =
   1-NN label match, y_score = top cosine — through the F-beta
-  threshold sweep, rank-sum ROC-AUC and the bootstrap CI of Accuracy@1
-  (reference-shaped seeded np RNG -> rows-only).
-- threshold_fbeta_auc ★: the SQL-expressible half of that battery
-  (sweep + AUC on 4-decimal-quantized scores, DuckDB oracle).
+  threshold sweep, rank-sum ROC-AUC and the bootstrap CI of
+  Accuracy@1, composed from the two deterministic halves below off
+  one ranks pass (DuckDB oracle = their SQL union).
+- threshold_fbeta_auc ★: the sweep/AUC half on its own
+  (4-decimal-quantized scores, DuckDB oracle).
 - bootstrap_acc1_ci ★: the bootstrap CI with a deterministic
   Lehmer-LCG resampler both engines reproduce bit-for-bit.
 
@@ -218,34 +219,64 @@ def retrieval_rank_metrics(sf_dir: str, k: int = 10):
     )
 
 
-def retrieval_threshold_metrics(sf_dir: str):
-    """F-beta sweep + ROC-AUC + bootstrap CI over the attach-vs-new
-    signal (reference evaluator.py battery; seeded bootstrap).
-    Output (metric, value) table; rows-only driver check.
-
-    The per-query (score, label) pairs are collected to the driver:
-    the sweep/AUC/bootstrap need the full sorted score vector, and at
-    one row per QUERY the vector is the small side by construction
-    (same driver-side design as the reference's Evaluator)."""
+def _fbeta_auc_metrics(t) -> dict:
+    """F-beta sweep + rank-sum ROC-AUC over a (top_score, top1_match)
+    ranks frame, with scores quantized to 4 decimals so the threshold
+    boundary set is bit-identical to the DuckDB oracle. Values
+    rounded 4."""
     from stack_trace_deduplication_ray.eval.metrics import (
-        bootstrap_ci,
         f_beta_sweep,
-        metrics_table,
         roc_auc,
     )
 
-    t = _first_correct_ranks(sf_dir).to_pandas()
-    scores = t["top_score"].to_numpy()
+    scores = np.round(t["top_score"].to_numpy(), 4)
     y = t["top1_match"].to_numpy().astype(np.int64)
     out = dict(f_beta_sweep(scores, y))
     auc = roc_auc(scores, y)
     if not np.isnan(auc):
         out["roc_auc"] = auc
-    mean, lo, hi = bootstrap_ci(y.astype(np.float64))
-    out["acc1_mean"] = mean
-    out["acc1_ci_lo"] = lo
-    out["acc1_ci_hi"] = hi
-    return metrics_table({k: round(v, 6) for k, v in out.items()})
+    return {k: round(v, 4) for k, v in out.items()}
+
+
+def _bootstrap_metrics(t, n_iter: int = 100) -> dict:
+    """Deterministic Lehmer-LCG percentile bootstrap of Accuracy@1
+    over a ranks frame ordered by query id (see bootstrap_acc1_ci)."""
+    y = t.sort_values("q")["top1_match"].to_numpy().astype(np.int64)
+    n = len(y)
+    i = np.repeat(np.arange(n_iter, dtype=np.int64), n)
+    j = np.tile(np.arange(n, dtype=np.int64), n_iter)
+    pick = _lehmer2(i * np.int64(1000003) + j) % n
+    sums = np.sort(y[pick].reshape(n_iter, n).sum(axis=1))
+    lo_rank = max(int(np.ceil(0.025 * n_iter)), 1)
+    hi_rank = int(np.ceil(0.975 * n_iter))
+    return {
+        "acc1_mean": _r4_ratio(int(y.sum()), n),
+        "acc1_ci_lo": _r4_ratio(int(sums[lo_rank - 1]), n),
+        "acc1_ci_hi": _r4_ratio(int(sums[hi_rank - 1]), n),
+    }
+
+
+def retrieval_threshold_metrics(sf_dir: str):
+    """The full evaluator battery (A6 F-beta sweep + A7 ROC-AUC + A8
+    bootstrap CI, reference evaluator.py) over the attach-vs-new
+    signal, composed from its two hash-checkable halves computed off
+    ONE ranks pass: the 4-decimal-quantized sweep/AUC
+    (threshold_fbeta_auc) and the deterministic Lehmer-LCG bootstrap
+    (bootstrap_acc1_ci). Both halves are exact-int64/quantized on both
+    engines, so the whole battery is DuckDB-oracle-checkable (★); the
+    reference-shaped seeded-np-RNG bootstrap remains available as
+    eval.metrics.bootstrap_ci. Output (metric, value) rounded 4.
+
+    The per-query (score, label) pairs are collected to the driver:
+    the sweep/AUC/bootstrap need the full sorted score vector, and at
+    one row per QUERY the vector is the small side by construction
+    (same driver-side design as the reference's Evaluator)."""
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
+
+    t = _first_correct_ranks(sf_dir).to_pandas()
+    out = _fbeta_auc_metrics(t)
+    out.update(_bootstrap_metrics(t))
+    return metrics_table(out)
 
 
 def threshold_fbeta_auc(sf_dir: str):
@@ -260,22 +291,12 @@ def threshold_fbeta_auc(sf_dir: str):
     numpy path and the DuckDB oracle (F values are then exact integer
     ratios -> deterministic argmax; ties broken toward the larger
     threshold in both). The seeded bootstrap stays in
-    retrieval_threshold_metrics (reference-shaped RNG, rows-only).
     Output (metric, value) rounded 4."""
-    from stack_trace_deduplication_ray.eval.metrics import (
-        f_beta_sweep,
-        metrics_table,
-        roc_auc,
-    )
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
 
-    t = _first_correct_ranks(sf_dir).to_pandas()
-    scores = np.round(t["top_score"].to_numpy(), 4)
-    y = t["top1_match"].to_numpy().astype(np.int64)
-    out = dict(f_beta_sweep(scores, y))
-    auc = roc_auc(scores, y)
-    if not np.isnan(auc):
-        out["roc_auc"] = auc
-    return metrics_table({k: round(v, 4) for k, v in out.items()})
+    return metrics_table(
+        _fbeta_auc_metrics(_first_correct_ranks(sf_dir).to_pandas())
+    )
 
 
 def _lehmer2(x: np.ndarray) -> np.ndarray:
@@ -315,23 +336,13 @@ def bootstrap_acc1_ci(sf_dir: str, n_iter: int = 100):
     i.e. 3rd and 98th of 100): integer sums + integer ranks + the
     integer half-up rounding of _r4_ratio keep the whole computation
     in exact int64, immune to float quantile-interpolation rounding
-    boundaries that differ between engines.
-    retrieval_threshold_metrics keeps the reference-shaped seeded-RNG
-    linear-interpolation bootstrap. Output (metric, value) rounded 4."""
+    boundaries that differ between engines. The reference-shaped
+    seeded-np-RNG linear-interpolation bootstrap remains available as
+    eval.metrics.bootstrap_ci. Output (metric, value) rounded 4."""
     from stack_trace_deduplication_ray.eval.metrics import metrics_table
 
-    t = _first_correct_ranks(sf_dir).to_pandas().sort_values("q")
-    y = t["top1_match"].to_numpy().astype(np.int64)
-    n = len(y)
-    i = np.repeat(np.arange(n_iter, dtype=np.int64), n)
-    j = np.tile(np.arange(n, dtype=np.int64), n_iter)
-    pick = _lehmer2(i * np.int64(1000003) + j) % n
-    sums = np.sort(y[pick].reshape(n_iter, n).sum(axis=1))
-    lo_rank = max(int(np.ceil(0.025 * n_iter)), 1)
-    hi_rank = int(np.ceil(0.975 * n_iter))
-    out = {
-        "acc1_mean": _r4_ratio(int(y.sum()), n),
-        "acc1_ci_lo": _r4_ratio(int(sums[lo_rank - 1]), n),
-        "acc1_ci_hi": _r4_ratio(int(sums[hi_rank - 1]), n),
-    }
-    return metrics_table(out)
+    return metrics_table(
+        _bootstrap_metrics(
+            _first_correct_ranks(sf_dir).to_pandas(), n_iter
+        )
+    )

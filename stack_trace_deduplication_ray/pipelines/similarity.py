@@ -461,17 +461,24 @@ def ann_recall(
     )
     exact = set(zip(exact_tbl["src"], exact_tbl["dst"]))
 
-    probe_set = set(int(x) for x in p_ids)
+    # probe-membership side built ONCE (sorted int64 array, ray.put):
+    # searchsorted membership per batch, no per-batch set->Arrow
+    # array construction
+    probe_sorted = np.sort(p_ids.astype(np.int64))
+    probe_ref = ray.put(probe_sorted)
     lsh_pairs = lsh_near_pairs(sf_dir, threshold)  # memoized+materialized
 
     def touching(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
+        pr = ray.get(probe_ref)
 
-        keep = pc.or_(
-            pc.is_in(batch.column("src"), value_set=pa.array(list(probe_set))),
-            pc.is_in(batch.column("dst"), value_set=pa.array(list(probe_set))),
-        )
-        return batch.filter(keep).select(["src", "dst"])
+        def member(col: str) -> np.ndarray:
+            v = batch.column(col).to_numpy(zero_copy_only=False)
+            pos = np.searchsorted(pr, v)
+            pos_c = np.minimum(pos, len(pr) - 1)
+            return pr[pos_c] == v
+
+        keep = member("src") | member("dst")
+        return batch.filter(pa.array(keep)).select(["src", "dst"])
 
     lsh_tbl = lsh_pairs.map_batches(touching, batch_format="pyarrow").to_pandas()
     lsh = set(zip(lsh_tbl["src"], lsh_tbl["dst"]))

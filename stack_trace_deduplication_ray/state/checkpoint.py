@@ -25,9 +25,10 @@ from dataclasses import asdict
 from stack_trace_deduplication_ray.config import DedupConfig
 
 
-def _parquet_rows(path: str) -> int:
+def parquet_rows(path: str) -> int:
     """Row count of a written parquet directory from file FOOTERS only
-    (no data scan, no plan execution)."""
+    (no data scan, no plan execution). Public: the job CLI uses it for
+    manifest counts."""
     return sum(_parquet_partition_rows(path).values())
 
 
