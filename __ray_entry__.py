@@ -34,6 +34,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     from stack_trace_deduplication_ray.pipelines import (
         analysis,
         dedup,
+        delta,
         evaluation,
         ranking,
         relational,
@@ -46,6 +47,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- flagship image+caption dedup (north_rule core) ----------
         "image_dedup_clusters": dedup.image_dedup_clusters,
         "image_dedup_recall": dedup.image_dedup_recall,
+        # --- incremental attach (T10/T11 accumulated-state model) ----
+        "delta_dedup_clusters": delta.delta_dedup_clusters,
+        "delta_dedup_equivalence": delta.delta_dedup_equivalence,
         "image_feature_table": dedup.image_feature_table,
         "video_frame_table": dedup.video_frame_table,
         # --- dedup over documents (SURVEY §2.6, north_rule core) -----

@@ -144,6 +144,16 @@ def run_bench() -> dict:
     rows: dict[str, int] = {}
 
     calib_pre = host_calibration()
+
+    # delta-attach setup (fixture split + prior full run w/ checkpoint)
+    # is UNTIMED: it happens before the headline clock starts and is
+    # resume-cached under /tmp across bench runs
+    from stack_trace_deduplication_ray.config import DEFAULT_CONFIG
+    from stack_trace_deduplication_ray.pipelines import delta as delta_mod
+
+    delta_split = delta_mod._fixture_split(SF_DIR)
+    delta_ck = delta_mod._prepare_prior(delta_split, DEFAULT_CONFIG)
+
     s0 = _proc_stat()
     t0 = time.time()
     t_img, n_img = bench_image_dedup(IMAGE_BENCH_ROWS)
@@ -155,6 +165,22 @@ def run_bench() -> dict:
         n = _consume(fn(SF_DIR))
         times[name] = round(time.time() - t1, 3)
         rows[name] = n
+
+    # incremental attach: prior full run over 3/4 of the fixture is
+    # UNTIMED setup (resume-cached across bench runs); the timed part
+    # is attaching the remaining 1/4 against the prior checkpoints —
+    # delta cost should track the delta+touched working set, not the
+    # corpus (compare against dedup_images_e2e over the same fixture)
+    import ray.data as rd
+
+    t1 = time.time()
+    dres = delta_mod.run_dedup_delta(
+        rd.read_parquet(os.path.join(delta_split, "b.parquet")), delta_ck,
+        DEFAULT_CONFIG,
+    )
+    n = dres["clusters"].count()
+    times["dedup_images_delta"] = round(time.time() - t1, 3)
+    rows["dedup_images_delta"] = n
 
     # two-stage rerank, COLD vs WARM: a fresh run dir forces stage-1
     # retrieval to execute; the second invocation resumes from the T9

@@ -286,6 +286,46 @@ def _restore_names(clusters_int, id_map, cfg: DedupConfig):
     return j.map_batches(out, batch_format="pyarrow")
 
 
+def resolve_simhash_mode(
+    cfg: DedupConfig, n_rows: int
+) -> tuple[DedupConfig, dict | None]:
+    """Resolve simhash_mode == "auto" by corpus size: exact 16-bit
+    chunks below the birthday knee, wide combination keys above it
+    (config.py SCALE NOTE). Returns (resolved cfg, stats entry) — the
+    stats entry records the per-run lineage of the auto decision.
+    Shared by the full run (build_edges) and the delta run
+    (delta.run_dedup_delta, which must resolve on the MERGED corpus
+    size so delta buckets match what a full run over prior+delta
+    would use). No-op for explicit modes."""
+    import dataclasses
+
+    if cfg.simhash_mode != "auto":
+        return cfg, None
+    mode = "combo" if n_rows > cfg.simhash_wide_threshold_rows else "chunks"
+    repl = {"simhash_mode": mode}
+    if mode == "combo":
+        if n_rows > cfg.simhash_combo_widen_rows:
+            # second tier: wider sub-chunks kill the quadratic
+            # random-collision term (config.py SCALE NOTE)
+            repl["simhash_combo_sub"] = cfg.simhash_combo_wide_sub
+            repl["simhash_combo_r"] = cfg.simhash_combo_wide_r
+        logger.info(
+            "simhash auto mode: %d rows > %d -> combination keys "
+            "(sub=%d, r=%d)",
+            n_rows, cfg.simhash_wide_threshold_rows,
+            repl.get("simhash_combo_sub", cfg.simhash_combo_sub),
+            repl.get("simhash_combo_r", cfg.simhash_combo_r),
+        )
+    cfg = dataclasses.replace(cfg, **repl)
+    return cfg, {
+        "stage": "simhash_key_scheme",
+        "mode": cfg.simhash_mode,
+        "combo_sub": cfg.simhash_combo_sub,
+        "combo_r": cfg.simhash_combo_r,
+        "rows": int(n_rows),
+    }
+
+
 def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
     """Run the fused collapse + candidate + verify phases, union the
     edges.
@@ -300,42 +340,11 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
         s for s in cfg.stages if s != "simhash"
     )
     if cfg.simhash_mode == "auto" and "simhash" in stages:
-        # auto-size the simhash key scheme by corpus size: exact
-        # 16-bit chunks below the birthday knee, wide combination keys
-        # above it (config.py SCALE NOTE; sigs is materialized so
-        # count() is metadata-cheap). Same verified edges either way.
-        import dataclasses
-
-        n_rows = sigs.count()
-        mode = (
-            "combo" if n_rows > cfg.simhash_wide_threshold_rows else "chunks"
-        )
-        repl = {"simhash_mode": mode}
-        if mode == "combo":
-            if n_rows > cfg.simhash_combo_widen_rows:
-                # second tier: wider sub-chunks kill the quadratic
-                # random-collision term (config.py SCALE NOTE)
-                repl["simhash_combo_sub"] = cfg.simhash_combo_wide_sub
-                repl["simhash_combo_r"] = cfg.simhash_combo_wide_r
-            logger.info(
-                "simhash auto mode: %d rows > %d -> combination keys "
-                "(sub=%d, r=%d)",
-                n_rows, cfg.simhash_wide_threshold_rows,
-                repl.get("simhash_combo_sub", cfg.simhash_combo_sub),
-                repl.get("simhash_combo_r", cfg.simhash_combo_r),
-            )
-        cfg = dataclasses.replace(cfg, **repl)
-        # resolved scheme -> run stats (and the job manifest): the
-        # auto decision is per-run lineage, not static config
-        stats.append(
-            {
-                "stage": "simhash_key_scheme",
-                "mode": cfg.simhash_mode,
-                "combo_sub": cfg.simhash_combo_sub,
-                "combo_r": cfg.simhash_combo_r,
-                "rows": int(n_rows),
-            }
-        )
+        # sigs is materialized so count() is metadata-cheap; same
+        # verified edges under either resolved scheme (tested)
+        cfg, scheme_stats = resolve_simhash_mode(cfg, sigs.count())
+        if scheme_stats is not None:
+            stats.append(scheme_stats)
 
     def checkpointed(name, thunk):
         if ckpt is None:
@@ -439,6 +448,7 @@ def run_dedup(
             StageCheckpoint,
             config_fingerprint,
             stage_fingerprints,
+            write_run_config,
         )
 
         ckpt = StageCheckpoint(
@@ -446,6 +456,9 @@ def run_dedup(
             config_fingerprint(cfg, input_id),
             stage_fps=stage_fingerprints(cfg, input_id),
         )
+        # original config (auto modes unresolved) -> run_config.json:
+        # the contract a later delta run warm-starts from
+        write_run_config(checkpoint_dir, cfg, input_id)
     if (
         ckpt is not None
         and ckpt.has("exact_edges")
@@ -503,21 +516,7 @@ def run_dedup(
         if sigs is not None
         else _id_map(images_ds).materialize()
     )
-    # `edges` is the RAW stage union here: duplicate pair rows (a pair
-    # confirmed by several stages) inflate the count slightly, which
-    # only makes the driver-CC gate CONSERVATIVE; union-find itself is
-    # duplicate-tolerant
-    if id_is_str and edges.count() <= cfg.driver_cc_max_edges:
-        # fast path: driver union-find + broadcast name restore —
-        # zero exchanges after the edge table
-        labels = cc_mod.driver_union_find_arrays(edges)
-        clusters = _apply_labels_with_names(id_map, labels, cfg)
-    else:
-        clusters = cc_mod.assign_clusters(
-            id_map.select_columns(["image_id"]), edges, cfg
-        )
-        if id_is_str:
-            clusters = _restore_names(clusters, id_map, cfg)
+    clusters = finish_clusters(id_map, edges, cfg, id_is_str)
     # the user-visible edge table keeps the canonical one-row-per-pair
     # contract (E5); the dedup exchange executes only when a consumer
     # actually reads it — the clusters path above never pays it
@@ -526,6 +525,25 @@ def run_dedup(
         "edges": cand.dedup_edges(edges, cfg),
         "stats": stats,
     }
+
+
+def finish_clusters(id_map, edges, cfg: DedupConfig, id_is_str: bool):
+    """Edges + id map -> the final clusters table (shared tail of the
+    full and delta runs). `edges` may be the RAW stage union: duplicate
+    pair rows (a pair confirmed by several stages) inflate the count
+    slightly, which only makes the driver-CC gate CONSERVATIVE;
+    union-find itself is duplicate-tolerant."""
+    if id_is_str and edges.count() <= cfg.driver_cc_max_edges:
+        # fast path: driver union-find + broadcast name restore —
+        # zero exchanges after the edge table
+        labels = cc_mod.driver_union_find_arrays(edges)
+        return _apply_labels_with_names(id_map, labels, cfg)
+    clusters = cc_mod.assign_clusters(
+        id_map.select_columns(["image_id"]), edges, cfg
+    )
+    if id_is_str:
+        clusters = _restore_names(clusters, id_map, cfg)
+    return clusters
 
 
 def cluster_summary(clusters) -> pa.Table:

@@ -46,6 +46,37 @@ def _parquet_partition_rows(path: str) -> dict[str, int]:
     return out
 
 
+RUN_CONFIG_FILE = "run_config.json"
+
+
+def write_run_config(root: str, cfg: DedupConfig, input_id: str = "") -> None:
+    """Persist the run's ORIGINAL config (pre-tuning, auto modes
+    unresolved) + input id next to the stage checkpoints, so a later
+    delta run (pipelines/delta.py) can warm-start with exactly the
+    sketch configuration the stored signatures/edges were built under."""
+    os.makedirs(root, exist_ok=True)
+    tmp = os.path.join(root, RUN_CONFIG_FILE + ".tmp")
+    with open(tmp, "w") as f:
+        json.dump(
+            {"config": asdict(cfg), "input_id": input_id},
+            f, indent=1, sort_keys=True, default=str,
+        )
+    os.replace(tmp, os.path.join(root, RUN_CONFIG_FILE))
+
+
+def load_run_config(root: str) -> tuple[DedupConfig, str] | None:
+    """(config, input_id) stored by write_run_config, or None."""
+    p = os.path.join(root, RUN_CONFIG_FILE)
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        d = json.load(f)
+    raw = dict(d["config"])
+    if isinstance(raw.get("stages"), list):
+        raw["stages"] = tuple(raw["stages"])
+    return DedupConfig(**raw), d.get("input_id", "")
+
+
 def config_fingerprint(cfg: DedupConfig, extra: str = "") -> str:
     """Deterministic fingerprint of the dedup configuration (+ an
     input identifier supplied by the caller)."""
