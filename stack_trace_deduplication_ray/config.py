@@ -160,6 +160,26 @@ class DedupConfig:
     # partitioned two-join shape runs unchanged — the 100-TB path.
     broadcast_feats_max_bytes: int = 800 << 20
 
+    # --- internal id space (string-id corpora) -----------------------
+    # String ids are hashed to int64 internal ids (signatures.py
+    # IID_SEED note): birthday odds of a silent cluster-merging
+    # collision reach ~2.7e-2 at 1e9 rows. exact_string_ids=True
+    # removes the ceiling: internal hashes are confined to the
+    # non-negative 63-bit half-space, one narrow (iid, orig_id)
+    # exchange detects colliding ids exactly, and colliding rows are
+    # deterministically remapped into the reserved NEGATIVE id space
+    # (disjoint by construction) before any downstream stage runs.
+    # Cost: one extra narrow exchange + a map pass — off by default;
+    # int64-id corpora pass through and never need it.
+    exact_string_ids: bool = False
+    # Width of the internal hash id in bits (hash >> (64 - bits)).
+    # 64 = the full space (default, bit-identical to prior behavior);
+    # exact mode uses at most 63 (sign bit reserved for remapped
+    # ids). Small values exist to make collisions testable: at 12
+    # bits a few-hundred-row corpus collides by birthday, proving the
+    # remap machinery end-to-end (tests/test_exact_ids.py).
+    iid_hash_bits: int = 64
+
     # --- connected components ----------------------------------------
     # Below this many edges the components are solved driver-side with
     # the VECTORIZED numpy union-find (factorize + pointer-jumping
@@ -193,6 +213,10 @@ class DedupConfig:
             )
         if self.simhash_mode not in ("auto", "chunks", "combo"):
             raise ValueError(f"unknown simhash_mode {self.simhash_mode!r}")
+        if not (8 <= self.iid_hash_bits <= 64):
+            raise ValueError(
+                f"iid_hash_bits must be in [8, 64], got {self.iid_hash_bits}"
+            )
         if self.hamming_radius > self.simhash_combo_sub - self.simhash_combo_r:
             raise ValueError(
                 "combination probing is complete only for hamming_radius "

@@ -62,13 +62,16 @@ from stack_trace_deduplication_ray.stages.signatures import (
 logger = logging.getLogger(__name__)
 
 
-def _id_map(images_ds):
+def _id_map(images_ds, cfg: DedupConfig):
     """(image_id int64[, orig_id string]) for every input row — the
     internal-id domain every exchange runs in (string ids are hashed
     once here / in the signature stage; int ids pass through)."""
+    from stack_trace_deduplication_ray.stages.signatures import iid_bits
+
+    bits = iid_bits(cfg)
 
     def fn(batch: pa.Table) -> pa.Table:
-        iid, was_str = internal_ids(batch.column("image_id"))
+        iid, was_str = internal_ids(batch.column("image_id"), bits=bits)
         cols = {"image_id": iid}
         if was_str:
             cols["orig_id"] = batch.column("image_id")
@@ -459,6 +462,10 @@ def run_dedup(
         # original config (auto modes unresolved) -> run_config.json:
         # the contract a later delta run warm-starts from
         write_run_config(checkpoint_dir, cfg, input_id)
+    sch = images_ds.schema()
+    input_id_type = dict(zip(sch.names, sch.types))["image_id"]
+    id_is_str = not pa.types.is_integer(input_id_type)
+    exact_ids = cfg.exact_string_ids and id_is_str
     if (
         ckpt is not None
         and ckpt.has("exact_edges")
@@ -493,6 +500,19 @@ def run_dedup(
             sigs = sigs.materialize()
         else:
             sigs = sig_thunk()
+        extra_stats = []
+        if exact_ids:
+            # collision-exact id mode: one narrow exchange detects
+            # equal internal hashes on distinct originals; colliding
+            # rows are deterministically remapped into the reserved
+            # negative id space BEFORE any stage keys on the id
+            from stack_trace_deduplication_ray.stages.signatures import (
+                remap_colliding_ids,
+            )
+
+            sigs, coll_stats = remap_colliding_ids(sigs, cfg)
+            sigs = sigs.materialize()
+            extra_stats.append(coll_stats)
         # corpus size AND block count are now metadata-cheap: gate the
         # exchange coalesce for everything downstream on both (the
         # signature actor pool fans small corpora out over many blocks
@@ -503,19 +523,25 @@ def run_dedup(
         cfg = coalesce_for_table(cfg, sigs.count(), sigs.num_blocks())
         edges, stats = build_edges(images_ds, sigs, cfg, has_image, ckpt=ckpt)
         edges = edges.materialize()
-    sch = images_ds.schema()
-    input_id_type = dict(zip(sch.names, sch.types))["image_id"]
-    id_is_str = not pa.types.is_integer(input_id_type)
+        stats = extra_stats + stats
     # id map source: the MATERIALIZED signature table when available
     # (column-plucks from the object store; the wide input `bytes`
     # column is never re-read), else a narrow pass over the input
-    # (full-resume path, where signatures were skipped)
+    # (full-resume path, where signatures were skipped; the exact-id
+    # remap is re-derived there — deterministic over the same id set,
+    # so it matches the ids inside the checkpointed edges)
     id_cols = ["image_id"] + (["orig_id"] if id_is_str else [])
-    id_map = (
-        sigs.select_columns(id_cols)
-        if sigs is not None
-        else _id_map(images_ds).materialize()
-    )
+    if sigs is not None:
+        id_map = sigs.select_columns(id_cols)
+    else:
+        id_map = _id_map(images_ds, cfg)
+        if exact_ids:
+            from stack_trace_deduplication_ray.stages.signatures import (
+                remap_colliding_ids,
+            )
+
+            id_map, _ = remap_colliding_ids(id_map, cfg)
+        id_map = id_map.materialize()
     clusters = finish_clusters(id_map, edges, cfg, id_is_str)
     # the user-visible edge table keeps the canonical one-row-per-pair
     # contract (E5); the dedup exchange executes only when a consumer

@@ -358,6 +358,14 @@ def run_dedup_delta(
     prior = load_prior_state(prior_checkpoint_dir)
     if cfg is None:
         cfg = prior["config"] or DedupConfig()
+    if cfg.exact_string_ids:
+        raise NotImplementedError(
+            "exact_string_ids + delta attach: a NEW row's hash id could "
+            "collide with an UNTOUCHED prior row's, and detecting that "
+            "exactly needs the full prior id set. Corpora large enough "
+            "to need exact ids should ship native int64 ids "
+            "(passthrough, zero risk) for incremental runs."
+        )
     cfg_orig = cfg  # persisted into chained state (auto modes intact)
     stats: list[dict] = []
 

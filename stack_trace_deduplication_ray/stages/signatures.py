@@ -31,21 +31,127 @@ U64 = np.uint64
 # collision at n rows are ~n^2/2^65: ~7e-9 at 500k but ~2.7e-2 at 1e9
 # — a collision silently merges two distinct ids, so string-id corpora
 # past ~1e8 rows should either ship int64 ids natively (passthrough,
-# zero risk) or widen to a 2x int64 (128-bit) key pair.
+# zero risk) or enable cfg.exact_string_ids: hashes are confined to
+# the non-negative half-space and colliding ids are DETECTED exactly
+# and remapped into the reserved negative space (remap_colliding_ids).
 IID_SEED = 0x1D17_0B5E
 
+#: base of the reserved remap id space (exact_string_ids mode):
+#: strictly negative, disjoint from every masked hash id
+REMAP_ID_BASE = -(1 << 62)
 
-def internal_ids(col: "pa.ChunkedArray | pa.Array") -> tuple[pa.Array, bool]:
+
+def iid_bits(cfg: DedupConfig) -> int:
+    """Effective internal-hash width: exact mode reserves the sign
+    bit for remapped ids (<= 63); otherwise cfg.iid_hash_bits (64 =
+    the full space, bit-identical to the flag-off behavior)."""
+    b = cfg.iid_hash_bits
+    return min(b, 63) if cfg.exact_string_ids else b
+
+
+def internal_ids(
+    col: "pa.ChunkedArray | pa.Array", bits: int = 64
+) -> tuple[pa.Array, bool]:
     """Id column -> (int64 internal-id array, was_string).
 
     Integer ids pass through unchanged (min-id keep-first semantics
-    preserved exactly); string ids are hashed to int64.
+    preserved exactly); string ids are hashed to int64, masked to the
+    top `bits` bits (64 = full space; < 64 keeps values in
+    [0, 2^bits), leaving the negative space to remap_colliding_ids).
     """
     if pa.types.is_integer(col.type):
         arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
         return arr.cast(pa.int64()), False
     ids = H.ids_np(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
-    return pa.array(H.hash_ids(ids, seed=IID_SEED).view(np.int64)), True
+    h = H.hash_ids(ids, seed=IID_SEED)
+    if bits < 64:
+        h = h >> U64(64 - bits)
+    return pa.array(h.view(np.int64)), True
+
+
+def remap_colliding_ids(sigs, cfg: DedupConfig):
+    """Exact-string-id mode: make the internal id space collision-free.
+
+    One NARROW partitioned exchange over (image_id, orig_id) co-locates
+    equal internal ids; groups holding >= 2 DISTINCT original ids are
+    true hash collisions (comparison is on the original strings, so
+    detection itself is exact). The colliding originals — expected
+    ~n^2/2^(bits+1) rows, driver-sized by construction — are remapped
+    to REMAP_ID_BASE + rank(orig) (lexicographic, deterministic across
+    runs and resumes), a NEGATIVE id space disjoint from the masked
+    non-negative hash space, then a map pass rewrites their signature
+    rows. Returns (remapped sigs Dataset, stats dict).
+
+    Cluster SEMANTICS are id-value-independent (components are content
+    -driven; user-visible names are min ORIGINAL id), so remapping only
+    changes internal representative choices, never the output.
+
+    Reference precedent for an exact id registry:
+    /root/reference/ea/sim/main/data/duplicates.py:39-58 (HashStorage
+    persists the full id->hash map and trusts uniqueness); here
+    uniqueness is enforced, not assumed.
+    """
+    import ray
+
+    from stack_trace_deduplication_ray.stages.joins import partitioned_groups
+
+    def find(part):
+        n = len(part)
+        if n == 0:
+            return part.iloc[:0]
+        part = part.sort_values(
+            ["image_id", "orig_id"], kind="stable"
+        )
+        iid_s = part["image_id"].to_numpy()
+        orig_s = part["orig_id"].to_numpy()
+        new_g = np.ones(n, dtype=bool)
+        new_g[1:] = iid_s[1:] != iid_s[:-1]
+        new_o = np.ones(n, dtype=bool)
+        new_o[1:] = new_g[1:] | (orig_s[1:] != orig_s[:-1])
+        gidx = np.cumsum(new_g) - 1
+        n_distinct = np.bincount(gidx, weights=new_o.astype(np.int64))
+        collides = (n_distinct >= 2)[gidx]
+        keep = collides & new_o  # one row per distinct (iid, orig)
+        import pandas as pd
+
+        return pd.DataFrame(
+            {"image_id": iid_s[keep], "orig_id": orig_s[keep]}
+        )
+
+    coll = partitioned_groups(
+        sigs.select_columns(["image_id", "orig_id"]), "image_id", find, cfg
+    ).to_pandas()
+    stats = {
+        "stage": "exact_string_ids",
+        "bits": iid_bits(cfg),
+        "colliding_rows": int(len(coll)),
+        "colliding_ids": int(coll["image_id"].nunique()) if len(coll) else 0,
+    }
+    if not len(coll):
+        return sigs, stats
+    origs = sorted(coll["orig_id"].tolist())
+    remap = {o: REMAP_ID_BASE + k for k, o in enumerate(origs)}
+    coll_iids = np.sort(coll["image_id"].unique().astype(np.int64))
+    ref = ray.put((coll_iids, remap))
+
+    def apply(batch: pa.Table) -> pa.Table:
+        ids_arr, mp = ray.get(ref)
+        iids = batch.column("image_id").to_numpy(zero_copy_only=False)
+        pos = np.minimum(np.searchsorted(ids_arr, iids), len(ids_arr) - 1)
+        hit = ids_arr[pos] == iids
+        if not hit.any():
+            return batch
+        new = iids.copy()
+        origs_b = batch.column("orig_id").to_pylist()
+        for i in np.nonzero(hit)[0]:
+            new[i] = mp.get(origs_b[i], new[i])
+        return batch.set_column(
+            batch.schema.get_field_index("image_id"),
+            "image_id",
+            pa.array(new.astype(np.int64)),
+        )
+
+    return sigs.map_batches(apply, batch_format="pyarrow"), stats
 
 
 def normalize_captions(captions: list[str], lowercase: bool = True) -> list[str]:
@@ -128,7 +234,9 @@ class SignatureStage:
         bands_bin = H.binary_from_fixed(
             bands.reshape(len(batch), -1).view(np.uint8)
         )
-        iid, was_str = internal_ids(batch.column("image_id"))
+        iid, was_str = internal_ids(
+            batch.column("image_id"), bits=iid_bits(cfg)
+        )
         orig = {"orig_id": batch.column("image_id")} if was_str else {}
         return pa.table(
             {
@@ -182,7 +290,9 @@ class TextSignatureStage(SignatureStage):
             bands.reshape(len(batch), -1).view(np.uint8)
         )
         ch64 = caption_hash.view(np.int64)
-        iid, was_str = internal_ids(batch.column("image_id"))
+        iid, was_str = internal_ids(
+            batch.column("image_id"), bits=iid_bits(cfg)
+        )
         orig = {"orig_id": batch.column("image_id")} if was_str else {}
         return pa.table(
             {

@@ -104,6 +104,7 @@ _EDGE_SPACE_VERSION = "idspace-v3-int64"
 # touches — changing a verify-only threshold reuses the signature,
 # exact-edge and candidate checkpoints and recomputes verify alone.
 _CAND_FIELDS = (
+    "exact_string_ids", "iid_hash_bits",
     "lowercase", "shingle_k", "num_perm", "minhash_seed", "bands",
     "rows_per_band", "simhash_mode", "simhash_chunks",
     "simhash_combo_sub", "simhash_combo_r",
@@ -114,10 +115,11 @@ _CAND_FIELDS = (
 )
 STAGE_DEPENDS: dict[str, tuple[str, ...]] = {
     "signatures": (
+        "exact_string_ids", "iid_hash_bits",
         "lowercase", "shingle_k", "num_perm", "minhash_seed",
         "bands", "rows_per_band",
     ),
-    "exact_edges": ("lowercase", "stages"),
+    "exact_edges": ("exact_string_ids", "iid_hash_bits", "lowercase", "stages"),
     "candidate_edges": _CAND_FIELDS,
     "verified_edges": _CAND_FIELDS
     + ("jaccard_threshold", "hamming_radius", "psnr_threshold_db"),
