@@ -408,10 +408,11 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
         cand_edges = checkpointed("candidate_edges", cand_thunk)
         stats.append(getattr(cand_thunk, "stats", {"stage": "fused"}))
 
+        stage_names = [st for _, _, st in expansions]
         verified = checkpointed(
             "verified_edges",
             lambda: ver.verify_fused(
-                cand_edges, sigs, cfg, has_image
+                cand_edges, sigs, cfg, has_image, stage_names=stage_names
             ).materialize(),
         )
         edges = exact_edges.union(verified)

@@ -121,6 +121,36 @@ def _edges_table(src, dst, stage, id_type: pa.DataType | None = None) -> pa.Tabl
     )
 
 
+def _pair_table(
+    src, dst, stage_codes, id_type: pa.DataType
+) -> pa.Table:
+    """Narrow candidate-pair table of the FUSED path: (src, dst,
+    stage int8) — no score column (all-zeros anyway; verify appends
+    the real one) and no string label (decoded in the verify output).
+    The pair table is materialized once and shuffled twice by the
+    verify feature joins, so every byte per row is paid three times:
+    vs the legacy 4-column layout this saves 8 B zeros + ~15 B string
+    cells per pair row on each pass."""
+    n = len(src)
+    if pa.types.is_integer(id_type):
+        src_arr = pa.array(np.asarray(src, dtype=np.int64), type=id_type)
+        dst_arr = pa.array(np.asarray(dst, dtype=np.int64), type=id_type)
+    else:
+        src_arr = pa.array(list(src), type=id_type)
+        dst_arr = pa.array(list(dst), type=id_type)
+    return pa.table(
+        {
+            "src": src_arr,
+            "dst": dst_arr,
+            "stage": pa.array(
+                np.asarray(stage_codes, dtype=np.int8)
+                if n
+                else np.empty(0, np.int8)
+            ),
+        }
+    )
+
+
 def decode_stage_codes(edges, names: list[str]):
     """Map the int8 `stage` exchange codes back to the public string
     labels (one cheap map pass over the small edge table; the heavy
@@ -556,7 +586,10 @@ def fused_pairs_from_buckets(
     hash-sample of each SOURCE (not the full expansion), so the
     detection pass costs ~1/mod of one expansion and no shuffle.
 
-    Returns (edges with per-row stage labels, stats).
+    Returns (edges, stats). Edge rows are NARROW (src, dst,
+    stage int8 code indexing the input stage order — _pair_table);
+    verify_fused dispatches on the codes and decodes the public
+    string label in its output.
     """
 
     stage_names = [st for _, _, st in expansions]
@@ -692,7 +725,7 @@ def fused_pairs_from_buckets(
                 first[1:] = (hb[1:] != hb[:-1]) | (hk[1:] != hk[:-1])
                 piv_rep, piv_ob, piv_st = hi[first], hb[first], hst[first]
         if n_pairs == 0 and piv_rep is None:
-            t = _edges_table([], [], np.empty(0, np.int8), idt)
+            t = _pair_table([], [], [], idt)
             t = t.append_column(
                 "bridge_key", pa.array(np.empty(0, np.int64))
             )
@@ -715,7 +748,7 @@ def fused_pairs_from_buckets(
             stc = np.concatenate([stc, piv_st.astype(np.int8)])
             bk = np.concatenate([bk, piv_ob.astype(np.int64)])
             ib = np.concatenate([ib, np.ones(len(piv_rep), dtype=np.int8)])
-        t = _edges_table(src, dst, stc, idt)
+        t = _pair_table(src, dst, stc, idt)
         t = t.append_column("bridge_key", pa.array(bk))
         return t.append_column("is_bridge", pa.array(ib))
 
@@ -771,10 +804,8 @@ def fused_pairs_from_buckets(
                 d_all.append(g[1:])
                 t_all.append(np.full(e - s - 1, st2[s], dtype=np.int8))
             if not s_all:
-                return _edges_table(
-                    [], [], np.empty(0, np.int8), _id_pa_type(reps2)
-                )
-            return _edges_table(
+                return _pair_table([], [], [], _id_pa_type(reps2))
+            return _pair_table(
                 np.concatenate(s_all),
                 np.concatenate(d_all),
                 np.concatenate(t_all),
@@ -790,7 +821,12 @@ def fused_pairs_from_buckets(
             return batch.drop_columns(["bridge_key", "is_bridge"])
 
         edges = out.map_batches(drop_bk, batch_format="pyarrow")
-    return decode_stage_codes(edges, stage_names), stats
+    # pair rows stay NARROW (src, dst, stage int8 — _pair_table): the
+    # table is materialized once and exchanged twice more by the
+    # verify feature joins; the string label and the real score are
+    # appended by verify_fused's OUTPUT (verified pairs are a small
+    # fraction of candidates)
+    return edges, stats
 
 
 def collapse_dual(sigs, axes, cfg: DedupConfig):

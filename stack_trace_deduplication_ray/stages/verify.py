@@ -250,8 +250,18 @@ def verify_simhash_psnr(edges, sigs, cfg: DedupConfig):
     return paired.map_batches(psnr_check, batch_format="pyarrow")
 
 
-def verify_fused(edges, sigs, cfg: DedupConfig, has_image: bool):
+def verify_fused(
+    edges, sigs, cfg: DedupConfig, has_image: bool,
+    stage_names: list[str] | None = None,
+):
     """ONE verify pass for every sketch stage's candidates.
+
+    `edges` may carry the stage as the fused path's int8 EXCHANGE CODE
+    (candidates._pair_table — index into `stage_names`) or as the
+    public string label; kernels dispatch on either, and the OUTPUT
+    stage column is always the decoded string (verified pairs are a
+    small fraction of candidates, so the label is paid only where the
+    user sees it).
 
     The fused candidate edges carry per-row stage labels; a single
     feature-attachment join (2 shuffles total, vs 2 per stage) brings
@@ -295,13 +305,34 @@ def verify_fused(edges, sigs, cfg: DedupConfig, has_image: bool):
     )
     L = cfg.substring_min_len
 
+    name_lookup = (
+        np.asarray(stage_names, dtype=object)
+        if stage_names is not None
+        else None
+    )
+
     def score(batch: pa.Table) -> pa.Table:
         n = len(batch)
+        stage_col = batch.column("stage")
+        coded = pa.types.is_integer(stage_col.type)
         if n == 0:
-            return batch.select(["src", "dst", "stage"]).append_column(
-                "score", pa.array([], type=pa.float64())
+            return pa.table(
+                {
+                    "src": batch.column("src"),
+                    "dst": batch.column("dst"),
+                    "stage": pa.array([], type=pa.string()),
+                    "score": pa.array([], type=pa.float64()),
+                }
             )
-        st = np.asarray(batch.column("stage").to_pylist(), dtype=object)
+        if coded:
+            assert name_lookup is not None, (
+                "int8 stage codes need stage_names for dispatch"
+            )
+            st = name_lookup[
+                stage_col.to_numpy(zero_copy_only=False).astype(np.int64)
+            ]
+        else:
+            st = np.asarray(stage_col.to_pylist(), dtype=object)
         keep = np.zeros(n, dtype=bool)
         sc = np.zeros(n, dtype=np.float64)
 
@@ -352,7 +383,10 @@ def verify_fused(edges, sigs, cfg: DedupConfig, has_image: bool):
                 ok, np.where(np.isinf(p) | (p > 100.0), 1.0, p / 100.0), 0.0
             )
 
-        out = batch.select(["src", "dst", "stage"]).filter(pa.array(keep))
+        out = batch.select(["src", "dst"]).filter(pa.array(keep))
+        out = out.append_column(
+            "stage", pa.array(list(st[keep]), type=pa.string())
+        )
         return out.append_column(
             "score", pa.array(sc[keep], type=pa.float64())
         )

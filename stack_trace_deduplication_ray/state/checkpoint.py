@@ -91,7 +91,9 @@ def config_fingerprint(cfg: DedupConfig, extra: str = "") -> str:
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
 
 
-_EDGE_SPACE_VERSION = "idspace-v3-int64"
+# v4: fused candidate-edge checkpoints carry (src, dst, stage int8
+# code) — no score column, no string label (see candidates._pair_table)
+_EDGE_SPACE_VERSION = "idspace-v4-int64-stagecode"
 
 
 # Config fields each checkpointed stage's OUTPUT depends on. Execution
