@@ -232,6 +232,82 @@ def run_bench() -> dict:
     }
 
 
+def run_delta_bench() -> dict:
+    """Delta-attach cost demonstration: full run over N rows vs delta
+    attach of the LAST shard (~1/9 of rows) against a prior run over
+    the rest — the daily-delta shape. All three runs measured in one
+    session on the sharded fixture (shard boundaries are the natural
+    ingestion deltas). The headline number is t_delta / t_full against
+    the delta fraction: equivalence of the outputs is pinned by
+    tests/test_delta.py; this measures that the attach cost tracks the
+    delta working set, not the corpus. Override rows with
+    GRAFT_DELTA_ROWS."""
+    import shutil
+
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.config import DedupConfig
+    from stack_trace_deduplication_ray.fixtures.images import (
+        materialize_fixture_sharded,
+    )
+    from stack_trace_deduplication_ray.pipelines.dedup import run_dedup
+    from stack_trace_deduplication_ray.pipelines.delta import run_dedup_delta
+    from stack_trace_deduplication_ray.sources.tables import tune_data_context
+
+    _init_ray(NUM_CPUS)
+    tune_data_context()
+    rows = int(os.environ.get("GRAFT_DELTA_ROWS", "225000"))
+    # always >=9 shards so the last-shard delta is ~1/9 of the corpus
+    # at any row count (25k shards would leave one shard below 225k)
+    d = materialize_fixture_sharded(
+        rows, seed=42, shard_rows=min(25_000, max(1, rows // 9))
+    )
+    files = sorted(
+        f"{d}/{f}" for f in os.listdir(d) if f.startswith("images_")
+    )
+    prior_files, delta_files = files[:-1], files[-1:]
+    cfg = DedupConfig()
+    calib = host_calibration()
+
+    t0 = time.time()
+    full = run_dedup(rd.read_parquet(files), cfg)
+    n_full = full["clusters"].count()
+    t_full = round(time.time() - t0, 3)
+
+    ck = "/tmp/bench_delta_ck"
+    shutil.rmtree(ck, ignore_errors=True)
+    t0 = time.time()
+    run_dedup(
+        rd.read_parquet(prior_files), cfg,
+        checkpoint_dir=ck, input_id="bench_prior",
+    )
+    t_prior = round(time.time() - t0, 3)
+
+    t0 = time.time()
+    dres = run_dedup_delta(rd.read_parquet(delta_files), ck, cfg)
+    n_delta_clusters = dres["clusters"].count()
+    t_delta = round(time.time() - t0, 3)
+    att = next(
+        s for s in dres["stats"] if s.get("stage") == "delta_attach"
+    )
+    return {
+        "metric": "delta_attach_cost",
+        "value": round(t_delta / t_full, 3),
+        "unit": "t_delta/t_full ratio",
+        "rows_total": rows,
+        "delta_rows": att["delta_rows"],
+        "delta_fraction": round(att["delta_rows"] / rows, 3),
+        "touched_prior_rows": att["touched_prior_rows"],
+        "t_full_sec": t_full,
+        "t_prior_sec": t_prior,
+        "t_delta_sec": t_delta,
+        "clusters_full": n_full,
+        "clusters_after_delta": n_delta_clusters,
+        "host_calib": calib,
+        "num_cpus": NUM_CPUS,
+    }
+
+
 def run_scaling(record: bool) -> dict:
     """Same flagship job at 8 and 32 CPUs in fresh processes.
 
@@ -417,6 +493,8 @@ if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else ""
     if mode == "--scaling":
         out = run_scaling(record="--record" in sys.argv)
+    elif mode == "--delta":
+        out = run_delta_bench()
     elif mode == "--flagship-only":
         out = run_flagship_only()
     else:

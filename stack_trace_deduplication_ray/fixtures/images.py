@@ -327,7 +327,8 @@ def materialize_fixture_sharded(
     boilerplate-caption cluster, generated only in shard 0)."""
     import ray
 
-    out = os.path.join(root, f"sharded_n{n_rows}_s{seed}")
+    tag = "" if shard_rows == 25_000 else f"_w{shard_rows}"
+    out = os.path.join(root, f"sharded_n{n_rows}_s{seed}{tag}")
     done = os.path.join(out, "_DONE")
     if os.path.exists(done):
         return out

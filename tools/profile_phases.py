@@ -143,6 +143,28 @@ def main() -> None:
     out["phases"]["candidates"] = round(time.time() - t0, 1)
     out["salting"] = st
     out["volumes"]["candidate_pairs"] = cand_edges.count()
+    if a.volumes:
+        # per-stage pair counts: which family's pairs grow with scale
+        import pyarrow as pa
+
+        def partial(batch: pa.Table) -> pa.Table:
+            import numpy as np
+
+            codes = batch.column("stage").to_numpy(zero_copy_only=False)
+            vals, cnts = np.unique(codes, return_counts=True)
+            return pa.table(
+                {"stage": pa.array(vals.astype(np.int64)),
+                 "c": pa.array(cnts.astype(np.int64))}
+            )
+
+        pc_df = cand_edges.map_batches(
+            partial, batch_format="pyarrow"
+        ).to_pandas()
+        names = [s for _, _, s in expansions]
+        out["pairs_by_stage"] = {
+            names[int(k)]: int(v)
+            for k, v in pc_df.groupby("stage")["c"].sum().items()
+        }
 
     t0 = time.time()
     verified = ver.verify_fused(
