@@ -263,8 +263,16 @@ def _hot_from_partials(parts: pd.DataFrame, cap: int, stage: str, mod: int):
     max_est = 0
     # sampled estimates (mod > 1) salt from cap/2 up — the margin that
     # absorbs Poisson sampling error (see _find_hot_buckets); the exact
-    # count (mod == 1) salts strictly above cap
-    thresh = cap if mod == 1 else max(1, cap // 2)
+    # count (mod == 1) salts strictly above cap. The max(..., mod)
+    # term requires >= 2 sampled hits: once _auto_mod crosses cap/2
+    # (rows >= ~3.3M at the defaults), a single sampled row would
+    # otherwise estimate > cap/2 and flag EVERY sampled bucket hot —
+    # measured at 4M rows as 4.5M "hot" buckets (vs 63k at 2M), a
+    # full extra re-key + bridge chain over the whole expansion. A
+    # true bucket of size > 2*mod >= cap still yields >= 2 sampled
+    # rows in expectation, and under-salting only costs bounded
+    # in-partition all-pairs (never correctness).
+    thresh = cap if mod == 1 else max(cap // 2, mod)
     if len(parts):
         est = parts.groupby("bucket")["c"].sum() * mod
         est = est[est > thresh]
@@ -283,21 +291,27 @@ def _hot_from_partials(parts: pd.DataFrame, cap: int, stage: str, mod: int):
     return hot, stats
 
 
+def _hot_arrays_ref(hot: dict[int, int]):
+    """Sorted (keys, counts) int64 arrays for the hot-bucket map,
+    `ray.put` ONCE — workers get them zero-copy from plasma. The dict
+    form was rebuilt + argsorted inside every salt batch, which is
+    O(|hot| log |hot|) per batch and dominated the candidates phase
+    whenever the hot set was large."""
+    hk = np.fromiter(hot.keys(), dtype=np.int64, count=len(hot))
+    hc = np.fromiter(hot.values(), dtype=np.int64, count=len(hot))
+    order = np.argsort(hk)
+    return ray.put((hk[order], hc[order]))
+
+
 def _salt_fn(hot_ref, target: int, extra_cols: tuple[str, ...] = ()):
     def salt_batch(batch: pa.Table) -> pa.Table:
-        hot_local = ray.get(hot_ref)
+        hk, hc = ray.get(hot_ref)
         buckets = (
             batch.column("bucket").to_numpy(zero_copy_only=False).astype(np.int64)
         )
         ids = H.ids_np(batch.column("image_id").combine_chunks())
-        if hot_local:
+        if len(hk):
             id_hash = H.hash_ids(ids, seed=777)
-            hk = np.fromiter(hot_local.keys(), dtype=np.int64, count=len(hot_local))
-            hc = np.fromiter(
-                hot_local.values(), dtype=np.int64, count=len(hot_local)
-            )
-            order = np.argsort(hk)
-            hk, hc = hk[order], hc[order]
             pos = np.clip(np.searchsorted(hk, buckets), 0, len(hk) - 1)
             hot_mask = hk[pos] == buckets
             n_sub = np.ones(len(ids), dtype=np.uint64)
@@ -428,7 +442,7 @@ def pairs_from_buckets(
     cap = cfg.bucket_cap
     hot, stats = _find_hot_buckets(expanded, cap, stage, cfg)
     if hot:
-        hot_ref = ray.put(hot)
+        hot_ref = _hot_arrays_ref(hot)
         salted = expanded.map_batches(
             _salt_fn(hot_ref, cfg.salt_target), batch_format="pyarrow"
         )
@@ -486,7 +500,7 @@ def simhash_pairs_from_buckets(expanded, stage: str, cfg: DedupConfig):
     r = cfg.hamming_radius
     hot, stats = _find_hot_buckets(expanded, cap, stage, cfg)
     if hot:
-        hot_ref = ray.put(hot)
+        hot_ref = _hot_arrays_ref(hot)
         salted = expanded.map_batches(
             _salt_fn(hot_ref, cfg.salt_target, extra_cols=("simhash",)),
             batch_format="pyarrow",
@@ -650,7 +664,7 @@ def fused_pairs_from_buckets(
     r = cfg.hamming_radius
     hot, stats = _find_hot_buckets_presampled(sampled, cap, "fused", mod)
     if hot:
-        hot_ref = ray.put(hot)
+        hot_ref = _hot_arrays_ref(hot)
         salted = tagged.map_batches(
             _salt_fn(hot_ref, cfg.salt_target, extra_cols=("simhash", "stage")),
             batch_format="pyarrow",

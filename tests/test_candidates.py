@@ -95,6 +95,31 @@ def test_sampled_hot_detection_finds_large_bucket(ray_session):
     assert edges.count() < n * 40
 
 
+def test_single_sample_hit_never_flags_hot():
+    """Once the auto modulus exceeds cap/2 (rows >= ~3.3M at the
+    defaults), a single sampled row's estimate (1 x mod) clears the
+    cap/2 threshold — without the >= 2-hits floor EVERY sampled bucket
+    is flagged hot (measured: 4.5M hot buckets at 4M rows vs 63k at
+    2M, an extra full re-key + bridge pass over the expansion)."""
+    import pandas as pd
+
+    parts = pd.DataFrame(
+        {"bucket": list(range(1000)) + [5000] * 3,
+         "c": [1] * 1000 + [1, 1, 1]}
+    )
+    hot, stats = cand._hot_from_partials(parts, cap=64, stage="t", mod=40)
+    # singletons (est 40 > cap/2=32 but only 1 hit) stay cold; the
+    # 3-hit bucket (est 120) is hot
+    assert hot == {5000: 120}
+    assert stats["hot_buckets"] == 1
+    # exact mode (mod=1) still salts strictly above cap
+    hot1, _ = cand._hot_from_partials(
+        pd.DataFrame({"bucket": [1, 2], "c": [64, 65]}),
+        cap=64, stage="t", mod=1,
+    )
+    assert hot1 == {2: 65}
+
+
 def test_simhash_hot_bucket_bridged_same_component(ray_session):
     """Salted simhash buckets must emit bridge edges: identical
     simhashes split across salt sub-buckets still form one component."""
