@@ -329,7 +329,31 @@ def resolve_simhash_mode(
     }
 
 
-def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
+def _filtered_expansion(build_fn, allow_ref):
+    """Wrap an expansion: keep only rows whose bucket key is in the
+    broadcast sorted allow-array (delta attach: buckets no delta row
+    claims can only produce prior x prior pairs, which the prior run
+    already decided — see pipelines/delta.py)."""
+    import ray
+
+    def wrapped(src_ds):
+        def keep(batch: pa.Table) -> pa.Table:
+            arr = ray.get(allow_ref)
+            if len(arr) == 0:
+                return batch.slice(0, 0)
+            b = batch.column("bucket").to_numpy(zero_copy_only=False)
+            pos = np.clip(np.searchsorted(arr, b), 0, len(arr) - 1)
+            return batch.filter(pa.array(arr[pos] == b))
+
+        return build_fn(src_ds).map_batches(keep, batch_format="pyarrow")
+
+    return wrapped
+
+
+def build_edges(
+    images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None,
+    expansion_filters: dict | None = None,
+):
     """Run the fused collapse + candidate + verify phases, union the
     edges.
 
@@ -337,6 +361,9 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
     optional state.checkpoint.StageCheckpoint persisting the exact and
     verified edge sets; run_dedup short-circuits the whole build
     (including signature computation) when both are valid.
+    `expansion_filters` maps stage name -> ObjectRef of a sorted int64
+    bucket-key allow-array (delta attach restricts candidate
+    generation to delta-claimed buckets).
     """
     stats = []
     stages = cfg.stages if has_image else tuple(
@@ -385,9 +412,10 @@ def build_edges(images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None):
         src = cap_reps if spec.source == "caption" else img_reps
         if src is None:
             continue
-        expansions.append(
-            (src, (lambda sp: lambda s: sp.build(s, cfg))(spec), stage_name)
-        )
+        fn = (lambda sp: lambda s: sp.build(s, cfg))(spec)
+        if expansion_filters and stage_name in expansion_filters:
+            fn = _filtered_expansion(fn, expansion_filters[stage_name])
+        expansions.append((src, fn, stage_name))
 
     if expansions:
         def cand_thunk():

@@ -247,6 +247,51 @@ def _delta_key_sets(sigs_delta, fams) -> dict[str, np.ndarray]:
     return out
 
 
+def _delta_simhash_nn(sigs_delta, cfg: DedupConfig):
+    """(sorted unique simhash keys, group offsets, delta simhashes) —
+    the broadcast side of the HAMMING-REFINED simhash touch filter.
+
+    Key-set membership alone is far too coarse for the simhash family:
+    chunk keys are only 64/chunks bits wide, so a day-sized delta
+    claims a large fraction of the key space and key-touches most of
+    the corpus (measured 95% of prior rows at 225k rows) — yet the
+    in-bucket emitter (candidates.py) drops every pair beyond
+    hamming_radius, so a key-sharing prior row whose simhash is far
+    from EVERY delta row in that bucket can never produce a new edge.
+    The refined filter replays exactly that test: touched iff some
+    key-sharing delta simhash is within the radius."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sh = (
+            batch.column("simhash").to_numpy(zero_copy_only=False).view(U64)
+        )
+        if cfg.simhash_mode == "combo":
+            keys = H.simhash_combo_keys(
+                sh, cfg.simhash_combo_sub, cfg.simhash_combo_r
+            )
+        else:
+            keys = H.simhash_chunk_keys(sh, cfg.simhash_chunks)
+        n, k = keys.shape
+        return pa.table(
+            {
+                "key": pa.array(keys.reshape(-1).view(np.int64)),
+                "sh": pa.array(np.repeat(sh.view(np.int64), k)),
+            }
+        )
+
+    t = (
+        sigs_delta.select_columns(["simhash"])
+        .map_batches(fn, batch_format="pyarrow")
+        .to_pandas()
+    )
+    t = t.drop_duplicates(["key", "sh"]).sort_values("key", kind="stable")
+    keys = np.ascontiguousarray(t["key"].to_numpy())
+    sh = np.ascontiguousarray(t["sh"].to_numpy()).view(U64)
+    uk, start = np.unique(keys, return_index=True)
+    offs = np.concatenate([start, [len(keys)]]).astype(np.int64)
+    return uk, offs, sh
+
+
 def _sorted_member(keys: np.ndarray, arr: np.ndarray) -> np.ndarray:
     """Vectorized membership of `keys` in sorted `arr`."""
     if len(arr) == 0 or len(keys) == 0:
@@ -256,14 +301,19 @@ def _sorted_member(keys: np.ndarray, arr: np.ndarray) -> np.ndarray:
     return arr[pos] == keys
 
 
-def touched_prior_rows(prior_sigs, fams, key_sets_ref):
-    """Filter the prior signature table to rows sharing >= 1 candidate
-    key with the delta (shuffle-free map pass; broadcast key sets).
+def touched_prior_rows(prior_sigs, fams, key_sets_ref, radius: int = 0):
+    """Filter the prior signature table to rows that could CO-PAIR
+    with a delta row (shuffle-free map pass; broadcast key sets).
 
     Families run cheapest-first and each one only examines rows not
     yet touched (batch.take on the remainder), so the winnowing
     recompute — the only non-trivial extractor — runs on the residue
-    that no hash family matched."""
+    that no hash family matched. When the broadcast carries the
+    ``__simhash_nn`` structure (_delta_simhash_nn), the simhash family
+    additionally requires Hamming(prior, some key-sharing delta row)
+    <= `radius` — replaying the in-bucket emitter's test, since
+    key-only membership touches most of the corpus (chunk keys are
+    narrow)."""
     import ray
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -271,8 +321,9 @@ def touched_prior_rows(prior_sigs, fams, key_sets_ref):
         n = len(batch)
         touched = np.zeros(n, dtype=bool)
         for name, ex in fams:
+            nn = sets.get("__simhash_nn") if name == "simhash" else None
             arr = sets.get(name)
-            if arr is None or len(arr) == 0:
+            if nn is None and (arr is None or len(arr) == 0):
                 continue
             rem = np.nonzero(~touched)[0]
             if len(rem) == 0:
@@ -281,7 +332,33 @@ def touched_prior_rows(prior_sigs, fams, key_sets_ref):
             rows, keys = ex(sub)
             if len(keys) == 0:
                 continue
-            hit_rows = np.unique(rows[_sorted_member(keys, arr)])
+            if nn is not None:
+                uk, offs, dsh = nn
+                if len(uk) == 0:
+                    continue
+                pos = np.minimum(np.searchsorted(uk, keys), len(uk) - 1)
+                idx = np.nonzero(uk[pos] == keys)[0]
+                if len(idx) == 0:
+                    continue
+                st = offs[pos[idx]]
+                cnt = offs[pos[idx] + 1] - st
+                tot = int(cnt.sum())
+                # flatten each hit's delta-simhash group: gather index
+                gather = (
+                    np.repeat(st, cnt)
+                    + np.arange(tot, dtype=np.int64)
+                    - np.repeat(np.cumsum(cnt) - cnt, cnt)
+                )
+                row_ids = np.repeat(rows[idx], cnt)
+                sh_rows = (
+                    sub.column("simhash")
+                    .to_numpy(zero_copy_only=False)
+                    .view(U64)
+                )
+                near = H.hamming64(sh_rows[row_ids], dsh[gather]) <= radius
+                hit_rows = np.unique(row_ids[near])
+            else:
+                hit_rows = np.unique(rows[_sorted_member(keys, arr)])
             touched[rem[hit_rows]] = True
         return batch.filter(pa.array(touched))
 
@@ -400,21 +477,34 @@ def run_dedup_delta(
         # --- 2+3. broadcast delta key sets; filter prior rows --------
         fams = _family_extractors(cfg, has_image, sig_names)
         key_sets = _delta_key_sets(sigs_delta, fams)
+        if has_image and "simhash" in cfg.stages and "simhash" in sig_names:
+            key_sets["__simhash_nn"] = _delta_simhash_nn(sigs_delta, cfg)
         key_sets_ref = ray.put(key_sets)
         # select_columns aligns the prior table's column ORDER with the
         # delta signatures (union requires identical schemas)
         touched = touched_prior_rows(
-            prior_sigs, fams, key_sets_ref
+            prior_sigs, fams, key_sets_ref, radius=cfg.hamming_radius
         ).select_columns(sig_names).materialize()
         n_touched = touched.count()
 
-        # --- 4. full machinery over the union working set ------------
+        # --- 4. full machinery over the union working set, candidate
+        # generation restricted to DELTA-CLAIMED buckets: a bucket no
+        # delta row claims holds only prior rows, and every prior x
+        # prior pair was decided by the prior run (keys are pure
+        # content functions, so the bucket existed there with the same
+        # membership) — its edges are already in the prior edge set.
         union_sigs = sigs_delta.union(touched).materialize()
         cfg_work = coalesce_for_table(
             cfg, union_sigs.count(), union_sigs.num_blocks()
         )
+        expansion_filters = {
+            name: ray.put(arr)
+            for name, arr in key_sets.items()
+            if name in ("minhash", "simhash", "substring")
+        }
         edges_new, build_stats = build_edges(
-            None, union_sigs, cfg_work, has_image
+            None, union_sigs, cfg_work, has_image,
+            expansion_filters=expansion_filters,
         )
         edges_new = edges_new.materialize()
         stats.extend(build_stats)

@@ -181,9 +181,26 @@ def main() -> None:
 
     t0 = time.time()
     id_map = sigs.select_columns(["image_id", "orig_id"])
-    clusters = dd.finish_clusters(id_map, edges, cfg, True)
-    out["volumes"]["clusters"] = clusters.count()
-    out["phases"]["cc_apply"] = round(time.time() - t0, 1)
+    if a.volumes and edges.count() <= cfg.driver_cc_max_edges:
+        # decomposed fast path (mirrors finish_clusters' driver-CC
+        # branch): separate the edge pull + union-find from the
+        # label-apply map wave
+        from stack_trace_deduplication_ray.pipelines.dedup import (
+            _apply_labels_with_names,
+        )
+        from stack_trace_deduplication_ray.stages import cc as cc_mod
+
+        labels = cc_mod.driver_union_find_arrays(edges)
+        out["phases"]["cc_pull_uf"] = round(time.time() - t0, 1)
+        out["volumes"]["touched_nodes"] = int(len(labels[0]))
+        t0 = time.time()
+        clusters = _apply_labels_with_names(id_map, labels, cfg)
+        out["volumes"]["clusters"] = clusters.count()
+        out["phases"]["cc_emit"] = round(time.time() - t0, 1)
+    else:
+        clusters = dd.finish_clusters(id_map, edges, cfg, True)
+        out["volumes"]["clusters"] = clusters.count()
+        out["phases"]["cc_apply"] = round(time.time() - t0, 1)
 
     out["total_sec"] = round(
         sum(v for k, v in out["phases"].items()
