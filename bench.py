@@ -290,6 +290,14 @@ def run_delta_bench() -> dict:
     att = next(
         s for s in dres["stats"] if s.get("stage") == "delta_attach"
     )
+    # phase attribution: the eager phases are timed inside
+    # run_dedup_delta; the remainder of t_delta is the LAZY cluster
+    # emit over the merged corpus — corpus-sized by contract (the
+    # output IS the full clustering) — plus checkpoint load
+    phases = dict(att.get("phase_sec", {}))
+    phases["cluster_emit_and_load"] = round(
+        t_delta - sum(phases.values()), 3
+    )
     return {
         "metric": "delta_attach_cost",
         "value": round(t_delta / t_full, 3),
@@ -301,6 +309,7 @@ def run_delta_bench() -> dict:
         "t_full_sec": t_full,
         "t_prior_sec": t_prior,
         "t_delta_sec": t_delta,
+        "delta_phase_sec": phases,
         "clusters_full": n_full,
         "clusters_after_delta": n_delta_clusters,
         "host_calib": calib,

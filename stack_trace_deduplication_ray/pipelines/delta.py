@@ -60,7 +60,12 @@ SCALE NOTES:
 - The delta key sets are driver-merged: O(|delta| x keys/row) int64
   values (a 1M-row delta at ~40 keys/row is ~320 MB — fine). For
   deltas approaching corpus size, run a full dedup instead; the
-  crossover is measured in bench.py's delta entry.
+  crossover is measured in bench.py's delta entry. For deltas too big
+  to broadcast but still corpus-small (e.g. 100M rows against 1e10),
+  CHAIN the attach over delta shards (((A)+B1)+B2...; chaining is
+  equivalence-tested) — each leg's broadcast is shard-sized, and the
+  per-leg O(|A|) scan is the term the persisted key->partition index
+  below would remove.
 - The prior-signature filter pass is a SCAN of the prior signature
   table (column-pruned parquet read + vectorized hashing +
   searchsorted, no shuffle, no decode) — the unavoidable O(|A|) term.
@@ -77,6 +82,7 @@ from __future__ import annotations
 
 import logging
 import os
+import time
 
 import numpy as np
 import pyarrow as pa
@@ -445,6 +451,12 @@ def run_dedup_delta(
         )
     cfg_orig = cfg  # persisted into chained state (auto modes intact)
     stats: list[dict] = []
+    # per-phase wall clocks (delta-sized vs corpus-sized attribution;
+    # the final cluster emit is LAZY — its cost lands on the caller's
+    # consume and is by construction corpus-sized, the output being
+    # the full merged clustering)
+    phase_sec: dict[str, float] = {}
+    t0 = time.time()
 
     # --- 1. delta signatures (the only decode/sketch pass) -----------
     sigs_delta = (
@@ -453,6 +465,7 @@ def run_dedup_delta(
         else text_signature_stage(new_ds, cfg)
     ).materialize()
     n_delta = sigs_delta.count()
+    phase_sec["delta_signatures"] = round(time.time() - t0, 3)
     n_prior = prior["rows"]["signatures"]
     # the simhash key scheme must match what a full run over the
     # MERGED corpus would resolve (bucket spaces must line up between
@@ -475,6 +488,7 @@ def run_dedup_delta(
         n_touched = 0
     else:
         # --- 2+3. broadcast delta key sets; filter prior rows --------
+        t0 = time.time()
         fams = _family_extractors(cfg, has_image, sig_names)
         key_sets = _delta_key_sets(sigs_delta, fams)
         if has_image and "simhash" in cfg.stages and "simhash" in sig_names:
@@ -486,6 +500,8 @@ def run_dedup_delta(
             prior_sigs, fams, key_sets_ref, radius=cfg.hamming_radius
         ).select_columns(sig_names).materialize()
         n_touched = touched.count()
+        phase_sec["touch_filter"] = round(time.time() - t0, 3)
+        t0 = time.time()
 
         # --- 4. full machinery over the union working set, candidate
         # generation restricted to DELTA-CLAIMED buckets: a bucket no
@@ -508,14 +524,18 @@ def run_dedup_delta(
         )
         edges_new = edges_new.materialize()
         stats.extend(build_stats)
+        phase_sec["build_edges_working_set"] = round(time.time() - t0, 3)
 
+    t0 = time.time()
     prior_edges = prior["exact_edges"].union(prior["verified_edges"])
     edges_all = (
         prior_edges.union(edges_new) if edges_new is not None else prior_edges
     ).materialize()
+    phase_sec["edge_fold_in"] = round(time.time() - t0, 3)
     stats.append(
         {
             "stage": "delta_attach",
+            "phase_sec": phase_sec,
             "prior_rows": int(n_prior),
             "delta_rows": int(n_delta),
             "touched_prior_rows": int(n_touched),
