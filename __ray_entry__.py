@@ -50,6 +50,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- incremental attach (T10/T11 accumulated-state model) ----
         "delta_dedup_clusters": delta.delta_dedup_clusters,
         "delta_dedup_equivalence": delta.delta_dedup_equivalence,
+        "delta_minhash_dedup_clusters": delta.delta_minhash_dedup_clusters,
         "image_feature_table": dedup.image_feature_table,
         "video_frame_table": dedup.video_frame_table,
         # --- dedup over documents (SURVEY §2.6, north_rule core) -----
@@ -148,6 +149,10 @@ def oracle_sql() -> dict[str, str]:
         "mock_rerank_metrics": mock_rerank_metrics_sql(),
         "ann_recall": ann_recall_sql(),
         "minhash_dedup_clusters": minhash_dedup_clusters_sql(),
+        # the incremental-attach path must land on the SAME clustering
+        # as a from-scratch run, so it shares the full-run SQL oracle
+        # (split is internal to the query; the result is corpus-wide)
+        "delta_minhash_dedup_clusters": minhash_dedup_clusters_sql(),
         "substring_candidate_pairs": substring_candidate_pairs_sql(),
         "simhash_text_clusters": simhash_text_clusters_sql(),
         "cluster_size_histogram": cluster_size_histogram_sql(),

@@ -635,6 +635,64 @@ def delta_dedup_clusters(sf_dir: str):
     )["clusters"]
 
 
+def delta_minhash_dedup_clusters(sf_dir: str):
+    """Incremental attach over the documents table, hash-checked
+    against a FULL-RUN pure-SQL oracle: a full text-dedup run on
+    doc_id % 4 != 0 (checkpointed under /tmp, fingerprint-resume-
+    cached), then delta attach of doc_id % 4 == 0. Returns
+    (doc_id, cluster_id) over the merged corpus — byte-identical to
+    ``minhash_dedup_clusters``, so it shares that query's
+    machine-generated DuckDB oracle (eval/sql_oracle.py): the
+    incremental path is verified bit-for-bit against a from-scratch
+    SQL rederivation of the whole clustering, not just against the
+    engine's own full run. Interleaved-by-id split: ~3/4 of the
+    near-dup groups straddle the prior/delta boundary, the shape that
+    exercises cross-side attach."""
+    import hashlib
+
+    import pyarrow.compute as pc
+
+    from stack_trace_deduplication_ray.pipelines.dedup import run_dedup
+    from stack_trace_deduplication_ray.pipelines.text import (
+        TEXT_DEDUP_CONFIG,
+        _docs_as_engine_input,
+    )
+
+    def side(keep_delta: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            # mod-4 via bitmask (pyarrow ships no modulo kernel;
+            # doc_id is non-negative so the mask is exact)
+            m = pc.equal(pc.bit_wise_and(batch.column("image_id"), 3), 0)
+            return batch.filter(m if keep_delta else pc.invert(m))
+
+        return f
+
+    docs = _docs_as_engine_input(sf_dir)
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    ck = os.path.join(
+        "/tmp/stack_dedup_fixtures", f"delta_docs_{tag}", "ck_a"
+    )
+    run_dedup(
+        docs.map_batches(side(False), batch_format="pyarrow"),
+        TEXT_DEDUP_CONFIG, has_image=False,
+        checkpoint_dir=ck, input_id=f"{sf_dir}:documents:mod4a",
+    )
+    res = run_dedup_delta(
+        docs.map_batches(side(True), batch_format="pyarrow"),
+        ck, TEXT_DEDUP_CONFIG, has_image=False,
+    )
+
+    def conv(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "doc_id": batch.column("image_id"),
+                "cluster_id": batch.column("cluster_id"),
+            }
+        )
+
+    return res["clusters"].map_batches(conv, batch_format="pyarrow")
+
+
 def delta_dedup_equivalence(sf_dir: str):
     """Quality proxy for the delta path: metrics table asserting the
     delta-attached clustering equals the one full run over the whole

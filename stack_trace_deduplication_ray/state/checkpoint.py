@@ -221,6 +221,20 @@ class StageCheckpoint:
 
             shutil.rmtree(path)
         ds.write_parquet(path)
+        if not os.path.isdir(path):
+            # Ray's parquet sink writes NO files (and no directory) for
+            # an empty dataset, which would make has() false and load()
+            # impossible — but an empty stage is a legitimate result
+            # (e.g. a corpus slice with zero exact-dup edges that a
+            # delta attach later unions with). Persist the schema as an
+            # empty parquet file so the checkpoint round-trips.
+            import pyarrow.parquet as pq
+
+            os.makedirs(path, exist_ok=True)
+            pq.write_table(
+                ds.schema().base_schema.empty_table(),
+                os.path.join(path, "empty.parquet"),
+            )
         # counts from the WRITTEN files' parquet footers: calling
         # ds.count() here would re-execute the stage's whole lazy plan
         # (measured: the rerank retrieval stage ran twice per cold run).

@@ -228,3 +228,51 @@ def test_delta_text_corpus(ray_session, tmp_path):
         run_dedup_delta(rd.read_parquet(b), ckdir, cfg, has_image=False)
     )
     assert delta.equals(full)
+
+
+def test_delta_minhash_query_matches_full_run(ray_session):
+    """The queries() entry delta_minhash_dedup_clusters (incremental
+    attach over the documents table) must equal minhash_dedup_clusters
+    (one full run) row-for-row — the same equivalence its shared
+    pure-SQL DuckDB oracle checks in the driver."""
+    from stack_trace_deduplication_ray.pipelines.delta import (
+        delta_minhash_dedup_clusters,
+    )
+    from stack_trace_deduplication_ray.pipelines.text import (
+        minhash_dedup_clusters,
+    )
+
+    sf = os.environ.get("GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+    delta_df = (
+        delta_minhash_dedup_clusters(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    full_df = (
+        minhash_dedup_clusters(sf).to_pandas()
+        .sort_values("doc_id").reset_index(drop=True)
+    )
+    assert len(delta_df) > 0
+    assert delta_df.equals(full_df)
+
+
+def test_checkpoint_empty_stage_roundtrip(ray_session, tmp_path):
+    """StageCheckpoint.save of an EMPTY dataset must still produce a
+    loadable checkpoint (Ray's parquet sink writes no files for zero
+    rows; a corpus slice with zero edges in some family is
+    legitimate)."""
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.state.checkpoint import (
+        StageCheckpoint,
+    )
+
+    st = StageCheckpoint(str(tmp_path / "ck"), "fp0")
+    empty = rd.from_arrow(
+        pa.table({"src": pa.array([], pa.int64()),
+                  "dst": pa.array([], pa.int64())})
+    )
+    st.save("edges", empty)
+    assert st.has("edges")
+    back = st.load("edges")
+    assert back.count() == 0
+    assert set(back.schema().names) == {"src", "dst"}
