@@ -36,6 +36,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         dedup,
         delta,
         evaluation,
+        neural,
         ranking,
         relational,
         rerank,
@@ -67,6 +68,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- classic rankers (Lerch TF-IDF / FaST alignment) ----------
         "lerch_pair_scores": ranking.lerch_pair_scores,
         "fast_pair_scores": ranking.fast_pair_scores,
+        # --- P4/P5 neural cross-encoders (seeded numpy inference) ----
+        "s3m_pair_scores": neural.s3m_pair_scores,
+        "cross_encoder_rerank": neural.cross_encoder_rerank,
+        # --- T13 embedding client (local deterministic backend) ------
+        "embed_client_vectors": analysis.embed_client_vectors,
+        "embed_client_cost": analysis.embed_client_cost,
         # --- text analysis (training-data ops) ------------------------
         "token_counts": analysis.token_counts,
         "token_document_frequency": analysis.token_document_frequency,
@@ -285,6 +292,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_counts": """
             SELECT doc_id, len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        """,
+        "embed_client_cost": """
+            SELECT doc_id,
+                   LEAST(len(string_split(text, ' ')), 256)::BIGINT
+                       AS consumed_tokens
             FROM documents
         """,
         "token_document_frequency": """

@@ -1,0 +1,284 @@
+"""Numpy forward passes for the reference's neural cross-encoders.
+
+The reference scores (query, candidate) pairs with trained torch
+models: S3M — biLSTM-encode each side to its final hidden state, then
+an MLP over [(h1+h2)/2, h1*h2, ||h1-h2||]
+(/root/reference/ea/sim/main/methods/neural/cross_encoders/s3m.py:82-96
+forward, :37-62 encode, :65-81 eval-time hidden cache) — and
+LSTMCrossEncoder — token-level cross features where a learned
+"has_same_item" vector is added to every token embedding whose token
+occurs on the OTHER side, then a biLSTM text encoder per side and a
+head over the concatenated text embeddings
+(.../cross_encoders/rnn.py:63-103). The text encoder (LSTMEmb,
+.../encoders/modules/rnn/rnn.py:60-88) aggregates the biLSTM as
+concat(final hidden, max-pool, avg-pool over valid steps) -> linear.
+
+This container has no torch and no GPU, so TRAINING is out of scope
+(SURVEY.md §2.4 P4/P5). What IS in scope — and what this module
+provides — is the full inference shape with the exact feature maps
+above, as deterministic seeded-weight numpy forward passes:
+
+* weights drawn once from a seeded PCG64 stream (same init family as
+  torch: U(-1/sqrt(h), 1/sqrt(h)) for LSTM/linear, N(0,1) for
+  embeddings), so every worker process reconstructs IDENTICAL models
+  from the integer seed alone — nothing is shipped;
+* the LSTM loops over TIME only; every step is a (batch, 4h) GEMM
+  over all rows at once, with padded steps frozen (the numpy
+  equivalent of pack_padded_sequence: state stops updating at each
+  row's length);
+* S3M keeps the reference's eval-time per-document hidden cache
+  (s3m.py:65-81): within a scoring task each distinct document is
+  encoded once no matter how many pairs it appears in.
+
+Untrained weights score nothing *semantically* — these exist to make
+the pair-batch plumbing (P6) real, measurable and deterministic, the
+same role the reference's S3MMockRetrievalModel plays for retrieval
+latency (S3M_mock_retrival.py:7-54).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from stack_trace_deduplication_ray.functions import hashing as H
+from stack_trace_deduplication_ray.functions.tokenize import PAD_ID
+
+# hashed-vocab ids skip the reserved special ids (PAD/UNK/SOS/EOS =
+# 0..3, matching the reference id space — functions/tokenize.py)
+_N_SPECIAL = 4
+
+
+def token_ids(text: str, vocab_size: int) -> np.ndarray:
+    """Whitespace tokens -> stable hashed vocab ids in
+    [_N_SPECIAL, vocab_size). The reference dict-encodes against a
+    trained vocabulary; with no training pass, feature hashing gives
+    the same fixed-id-space contract deterministically."""
+    toks = text.split(" ")
+    h = H.hash_bytes_arrays(toks)
+    return (h % np.uint64(vocab_size - _N_SPECIAL)).astype(np.int64) + _N_SPECIAL
+
+
+def pad_id_lists(seqs: list[np.ndarray], max_len: int) -> tuple[np.ndarray, np.ndarray]:
+    """Right-pad id lists (truncated to their LAST max_len ids, the
+    reference's n_ctx window — rnn.py:80) into an (N, T) int64 matrix
+    + lengths. PAD rows never influence the LSTM state (frozen) or
+    the pooled aggregations (masked)."""
+    seqs = [s[-max_len:] for s in seqs]
+    lens = np.asarray([max(len(s), 1) for s in seqs], dtype=np.int64)
+    T = int(lens.max())
+    out = np.full((len(seqs), T), PAD_ID, dtype=np.int64)
+    for i, s in enumerate(seqs):
+        out[i, : len(s)] = s
+    return out, lens
+
+
+def _sigmoid(x: np.ndarray) -> np.ndarray:
+    return 1.0 / (1.0 + np.exp(-x))
+
+
+def _linear(rng: np.random.Generator, fan_in: int, fan_out: int):
+    k = 1.0 / np.sqrt(fan_in)
+    W = rng.uniform(-k, k, (fan_in, fan_out)).astype(np.float32)
+    b = rng.uniform(-k, k, fan_out).astype(np.float32)
+    return W, b
+
+
+class _BiLSTM:
+    """Seeded bidirectional LSTM. run() returns (outputs (N,T,2h)
+    zeroed past each row's length, final hidden concat (N,2h))."""
+
+    def __init__(self, rng: np.random.Generator, d: int, h: int):
+        self.h = h
+        k = 1.0 / np.sqrt(h)
+
+        def direction():
+            return (
+                rng.uniform(-k, k, (d, 4 * h)).astype(np.float32),
+                rng.uniform(-k, k, (h, 4 * h)).astype(np.float32),
+                rng.uniform(-k, k, 4 * h).astype(np.float32),
+            )
+
+        self.fwd = direction()
+        self.bwd = direction()
+
+    def _one_dir(self, emb: np.ndarray, lens: np.ndarray, params):
+        W, U, b = params
+        N, T, _ = emb.shape
+        h = self.h
+        hs = np.zeros((N, h), dtype=np.float32)
+        cs = np.zeros((N, h), dtype=np.float32)
+        outs = np.zeros((N, T, h), dtype=np.float32)
+        for t in range(T):
+            active = (t < lens)[:, None]
+            z = emb[:, t, :] @ W + hs @ U + b
+            i = _sigmoid(z[:, :h])
+            f = _sigmoid(z[:, h : 2 * h])
+            g = np.tanh(z[:, 2 * h : 3 * h])
+            o = _sigmoid(z[:, 3 * h :])
+            c_new = f * cs + i * g
+            h_new = o * np.tanh(c_new)
+            hs = np.where(active, h_new, hs)
+            cs = np.where(active, c_new, cs)
+            outs[:, t, :] = np.where(active, h_new, 0.0)
+        return outs, hs
+
+    @staticmethod
+    def _reverse_padded(emb: np.ndarray, lens: np.ndarray) -> np.ndarray:
+        N, T, _ = emb.shape
+        idx = np.arange(T)[None, :]
+        rev = np.where(idx < lens[:, None], lens[:, None] - 1 - idx, 0)
+        out = emb[np.arange(N)[:, None], rev].copy()
+        out[idx >= lens[:, None]] = 0.0
+        return out
+
+    def run(self, emb: np.ndarray, lens: np.ndarray):
+        out_f, h_f = self._one_dir(emb, lens, self.fwd)
+        # backward pass consumes each row's REVERSED valid prefix; the
+        # pooled aggregations downstream are step-order-invariant over
+        # the valid window, so the outputs are not un-reversed
+        out_b, h_b = self._one_dir(self._reverse_padded(emb, lens), lens, self.bwd)
+        return (
+            np.concatenate([out_f, out_b], axis=2),
+            np.concatenate([h_f, h_b], axis=1),
+        )
+
+
+class S3MNumpy:
+    """P4: S3M pairwise scorer (s3m.py:19-96) as a seeded numpy
+    forward pass. score_pairs(texts_a, texts_b) -> (N,) float scores;
+    each distinct text is biLSTM-encoded ONCE per instance (the
+    reference's eval-time cache, s3m.py:65-81)."""
+
+    def __init__(
+        self,
+        vocab_size: int = 4096,
+        emb_dim: int = 32,
+        hidden: int = 32,
+        max_len: int = 48,
+        seed: int = 0x53334D,
+    ):
+        rng = np.random.default_rng(np.random.PCG64(seed))
+        self.vocab_size = vocab_size
+        self.max_len = max_len
+        self.E = rng.standard_normal((vocab_size, emb_dim)).astype(np.float32)
+        self.E[PAD_ID] = 0.0
+        self.lstm = _BiLSTM(rng, emb_dim, hidden)
+        # head over [(h1+h2)/2 (2h), h1*h2 (2h), ||h1-h2|| (1)]
+        self.W1, self.b1 = _linear(rng, 4 * hidden + 1, hidden)
+        self.W2, self.b2 = _linear(rng, hidden, 1)
+        self._cache: dict[int, np.ndarray] = {}
+
+    def encode(self, texts: list[str]) -> np.ndarray:
+        seqs = [token_ids(t, self.vocab_size) for t in texts]
+        ids, lens = pad_id_lists(seqs, self.max_len)
+        _, h_final = self.lstm.run(self.E[ids], lens)
+        return h_final
+
+    def cached_encode(self, texts: list[str]) -> np.ndarray:
+        keys = [hash(t) for t in texts]
+        miss_idx, miss_txt, seen = [], [], set()
+        for i, k in enumerate(keys):
+            if k not in self._cache and k not in seen:
+                seen.add(k)
+                miss_idx.append(i)
+                miss_txt.append(texts[i])
+        if miss_txt:
+            enc = self.encode(miss_txt)
+            for j, i in enumerate(miss_idx):
+                self._cache[keys[i]] = enc[j]
+        return np.stack([self._cache[k] for k in keys])
+
+    def score_pairs(self, texts_a: list[str], texts_b: list[str]) -> np.ndarray:
+        h1 = self.cached_encode(texts_a)
+        h2 = self.cached_encode(texts_b)
+        feats = np.concatenate(
+            [
+                (h1 + h2) / 2.0,
+                h1 * h2,
+                np.linalg.norm(h1 - h2, axis=1, keepdims=True),
+            ],
+            axis=1,
+        )
+        z = np.maximum(feats @ self.W1 + self.b1, 0.0)
+        return (z @ self.W2 + self.b2).reshape(-1).astype(np.float64)
+
+
+class LSTMCrossEncoderNumpy:
+    """P5: token-level cross-encoder (rnn.py:34-103) as a seeded
+    numpy forward pass. Per pair: tokens present on the OTHER side
+    get a learned vector added to their embedding (soft alignment),
+    each side runs through the LSTMEmb text encoder
+    (concat(final hidden, max, avg) -> mixture linear,
+    encoders/modules/rnn/rnn.py:29-88), and the head scores the
+    concatenated side embeddings. No per-document cache is possible:
+    the membership flags differ per PAIR (unlike S3M)."""
+
+    def __init__(
+        self,
+        vocab_size: int = 4096,
+        d_input: int = 32,
+        hidden: int = 32,
+        out_size: int = 32,
+        n_ctx: int = 48,
+        seed: int = 0xCE11,
+    ):
+        rng = np.random.default_rng(np.random.PCG64(seed))
+        self.vocab_size = vocab_size
+        self.n_ctx = n_ctx
+        self.E = rng.standard_normal((vocab_size, d_input)).astype(np.float32)
+        self.E[PAD_ID] = 0.0
+        self.same_item_vec = rng.standard_normal(d_input).astype(np.float32)
+        self.lstm = _BiLSTM(rng, d_input, hidden)
+        # ConcatAgg(final hidden 2h, max 2h, avg 2h) -> mixture
+        self.Wmix, self.bmix = _linear(rng, 6 * hidden, out_size)
+        self.W1, self.b1 = _linear(rng, 2 * out_size, out_size)
+        self.W2, self.b2 = _linear(rng, out_size, 1)
+
+    def _encode_side(
+        self, ids: np.ndarray, lens: np.ndarray, flags: np.ndarray
+    ) -> np.ndarray:
+        emb = self.E[ids] + flags[:, :, None] * self.same_item_vec
+        emb[ids == PAD_ID] = 0.0
+        outs, h_final = self.lstm.run(emb, lens)
+        T = ids.shape[1]
+        valid = (np.arange(T)[None, :] < lens[:, None])[:, :, None]
+        mx = np.where(valid, outs, -np.inf).max(axis=1)
+        avg = outs.sum(axis=1) / lens[:, None].astype(np.float32)
+        agg = np.concatenate([h_final, mx, avg], axis=1)
+        return agg @ self.Wmix + self.bmix
+
+    def score_pairs(self, texts_a: list[str], texts_b: list[str]) -> np.ndarray:
+        seq_a = [token_ids(t, self.vocab_size) for t in texts_a]
+        seq_b = [token_ids(t, self.vocab_size) for t in texts_b]
+        ids_a, lens_a = pad_id_lists(seq_a, self.n_ctx)
+        ids_b, lens_b = pad_id_lists(seq_b, self.n_ctx)
+        n = len(seq_a)
+        flags_a = np.zeros(ids_a.shape, dtype=np.float32)
+        flags_b = np.zeros(ids_b.shape, dtype=np.float32)
+        for i in range(n):
+            # membership vs the FULL other-side token set (the
+            # reference flags against item.tokens untruncated)
+            flags_a[i, : lens_a[i]] = np.isin(ids_a[i, : lens_a[i]], seq_b[i])
+            flags_b[i, : lens_b[i]] = np.isin(ids_b[i, : lens_b[i]], seq_a[i])
+        e1 = self._encode_side(ids_a, lens_a, flags_a)
+        e2 = self._encode_side(ids_b, lens_b, flags_b)
+        z = np.maximum(
+            np.concatenate([e1, e2], axis=1) @ self.W1 + self.b1, 0.0
+        )
+        return (z @ self.W2 + self.b2).reshape(-1).astype(np.float64)
+
+
+@functools.lru_cache(maxsize=4)
+def shared_s3m(seed: int = 0x53334D) -> S3MNumpy:
+    """Process-wide S3M instance: grid-cell scoring tasks reconstruct
+    the identical seeded model once per worker process (weights are
+    derived from the seed — nothing crosses the object store) and
+    share its document-hidden cache across cells."""
+    return S3MNumpy(seed=seed)
+
+
+@functools.lru_cache(maxsize=4)
+def shared_cross_encoder(seed: int = 0xCE11) -> LSTMCrossEncoderNumpy:
+    return LSTMCrossEncoderNumpy(seed=seed)

@@ -326,3 +326,32 @@ def padded_sequences(sf_dir: str, max_len: int = 16):
     return ds.map_batches(seqs, batch_format="pyarrow").map_batches(
         reduce, batch_format="pyarrow"
     )
+
+
+def embed_client_vectors(sf_dir: str, dim: int = 64, max_input_tokens: int = 256):
+    """T13 embedding-client run over documents: actor-pool
+    EmbedClientStage (deterministic local backend) emits
+    (doc_id, embedding fixed_size_list<float32>[dim],
+    consumed_tokens). Embeddings are seeded-hash-derived, so the
+    query is deterministic but not SQL-expressible (rows-only); the
+    token-metering half IS — see embed_client_cost."""
+    from stack_trace_deduplication_ray.stages.embed_client import EmbedClientStage
+
+    ds = read_table(sf_dir, "documents", columns=["doc_id", "text"])
+    return ds.map_batches(
+        EmbedClientStage,
+        fn_constructor_kwargs={"dim": dim, "max_input_tokens": max_input_tokens},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 8),
+        num_cpus=1,
+    )
+
+
+def embed_client_cost(sf_dir: str, max_input_tokens: int = 256):
+    """T13 cost metering, oracle-checkable: per-doc billed tokens =
+    min(whitespace token count, max_input) — exactly what the stage's
+    truncation consumes (client.py:49 tokens[-max_input:]). Output
+    (doc_id, consumed_tokens)."""
+    ds = embed_client_vectors(sf_dir, max_input_tokens=max_input_tokens)
+    return ds.select_columns(["doc_id", "consumed_tokens"])

@@ -1,0 +1,195 @@
+"""T13: external-embedding client as an actor-pool map_batches stage.
+
+The reference calls a remote embedding service per text — tiktoken
+truncation to the model's max input, a per-text-hash memo so repeated
+texts are never re-billed, and a running cost meter with spend alerts
+(/root/reference/ea/sim/dev/scripts/training/training/embeddings/
+client.py:20-61 OpenAIClient + PriceTracker; main.py:36-46 text-hash
+memo). This container has no network, so the SERVICE CALL is the one
+stubbed seam; everything around it — the Ray-side actor-pool shape,
+token truncation, batch-level memo/dedup, consumed-token accounting —
+is real and tested.
+
+Shape for scale: `docs.map_batches(EmbedClientStage, concurrency=N,
+batch_size=B)` — one backend connection and one memo per ACTOR
+(built in __init__, never per batch); each __call__ dedups its batch
+against the memo, sends only the misses in one batched request, and
+emits (doc_id, embedding, consumed_tokens). Cost metering is emitted
+PER ROW and summed by a downstream aggregate — per-actor trackers
+alone would need a driver-side gather; the column makes the total an
+ordinary distributed sum (and SQL-checkable: consumed_tokens =
+min(whitespace tokens, max_input), see oracle_sql()
+["embed_client_cost"]).
+
+Backends:
+
+* ``DeterministicLocalBackend`` — seeded embedding-bag: each token id
+  indexes a seeded Gaussian row; a text's embedding is the normalized
+  sum. Deterministic across processes (weights derive from the seed),
+  vectorizable, and unit-norm like real embedding APIs. The default,
+  and what tests/bench run.
+* ``ExternalServiceBackend`` — the real remote-call seam; raises
+  NotImplementedError here (no network in this environment). A
+  deployment implements encode_batch() with its HTTP client; nothing
+  else in the stage changes.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from stack_trace_deduplication_ray.functions import hashing as H
+
+
+class PriceTracker:
+    """Running token/cost meter (client.py:20-40): update() adds
+    consumed tokens; crossing each `alert_every_spent_dollar` boundary
+    increments `alerts` (the reference prints; an actor can't usefully
+    print, so the count is observable state instead)."""
+
+    def __init__(
+        self,
+        price_per_1k_tokens: float,
+        alert_every_spent_dollar: float | None = None,
+    ):
+        self._rate = price_per_1k_tokens / 1000.0
+        self._tokens = 0
+        self._alert_step = alert_every_spent_dollar
+        self._next_alert = alert_every_spent_dollar
+        self.alerts = 0
+
+    def update(self, tokens: int) -> None:
+        self._tokens += int(tokens)
+        if self._alert_step is not None:
+            while self.price >= self._next_alert:
+                self.alerts += 1
+                self._next_alert += self._alert_step
+
+    @property
+    def tokens(self) -> int:
+        return self._tokens
+
+    @property
+    def price(self) -> float:
+        return self._tokens * self._rate
+
+
+class DeterministicLocalBackend:
+    """Seeded embedding-bag backend: embedding(text) = L2-normalized
+    sum of seeded Gaussian rows indexed by hashed token id. One
+    (table_size, dim) weight table per instance, derived from the
+    integer seed — identical in every worker, nothing shipped."""
+
+    def __init__(self, dim: int = 64, seed: int = 0xE0B, table_size: int = 8192):
+        rng = np.random.default_rng(np.random.PCG64(seed))
+        self._table = rng.standard_normal((table_size, dim)).astype(np.float32)
+        self._n = np.uint64(table_size)
+        self.dim = dim
+
+    def encode_batch(self, token_lists: list[np.ndarray]) -> np.ndarray:
+        out = np.empty((len(token_lists), self.dim), dtype=np.float32)
+        for i, toks in enumerate(token_lists):
+            rows = self._table[(toks % self._n).astype(np.int64)]
+            v = rows.sum(axis=0)
+            out[i] = v / max(float(np.linalg.norm(v)), 1e-12)
+        return out
+
+
+class ExternalServiceBackend:
+    """The remote-call seam (client.py:42-61). Constructing it is
+    fine (config validation); calling it is impossible here."""
+
+    def __init__(self, model_name: str, api_token: str, dim: int):
+        self.model_name = model_name
+        self._token = api_token
+        self.dim = dim
+
+    def encode_batch(self, token_lists: list[np.ndarray]) -> np.ndarray:
+        raise NotImplementedError(
+            "ExternalServiceBackend requires network access; this "
+            "environment has none. Deployments implement encode_batch "
+            "with their HTTP client — the surrounding EmbedClientStage "
+            "(truncation, memo, cost metering, actor-pool plumbing) is "
+            "backend-agnostic."
+        )
+
+
+class EmbedClientStage:
+    """Actor-pool embedding client. __init__ once per actor: backend +
+    per-actor text-hash memo + price tracker. __call__ per batch:
+    tokenize, truncate to the LAST max_input tokens (the reference's
+    encoding.encode(text)[-max_input:], client.py:49), dedup against
+    the memo, one batched backend call for the misses."""
+
+    def __init__(
+        self,
+        dim: int = 64,
+        max_input_tokens: int = 256,
+        price_per_1k_tokens: float = 0.0001,
+        alert_every_spent_dollar: float | None = None,
+        backend: str = "local",
+        seed: int = 0xE0B,
+        text_col: str = "text",
+        id_col: str = "doc_id",
+    ):
+        if backend == "local":
+            self._backend = DeterministicLocalBackend(dim=dim, seed=seed)
+        elif backend == "external":
+            self._backend = ExternalServiceBackend("remote-emb", "", dim)
+        else:
+            raise ValueError(f"unknown backend {backend!r}")
+        self._max_input = max_input_tokens
+        self._memo: dict[np.uint64, np.ndarray] = {}
+        self.tracker = PriceTracker(price_per_1k_tokens, alert_every_spent_dollar)
+        self._text_col = text_col
+        self._id_col = id_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        dim = self._backend.dim
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    self._id_col: pa.array([], type=pa.int64()),
+                    "embedding": pa.array([], type=pa.list_(pa.float32(), dim)),
+                    "consumed_tokens": pa.array([], type=pa.int64()),
+                }
+            )
+        texts = batch.column(self._text_col).to_pylist()
+        tok_arrays, keys, consumed = [], [], np.empty(len(texts), np.int64)
+        for i, t in enumerate(texts):
+            toks = H.hash_bytes_arrays(t.split(" "))[-self._max_input :]
+            tok_arrays.append(toks)
+            consumed[i] = len(toks)
+            # memo key = hash of the TRUNCATED token stream (two texts
+            # identical in their billed window share one request);
+            # position-mixed so permutations don't collide
+            pos = np.arange(1, len(toks) + 1, dtype=np.uint64)
+            with np.errstate(over="ignore"):
+                mixed = H.splitmix64(
+                    toks * np.uint64(0x9E3779B97F4A7C15) + pos
+                )
+            keys.append(int(np.bitwise_xor.reduce(mixed)))
+        miss_idx = []
+        seen: set = set()
+        for i, k in enumerate(keys):
+            if k not in self._memo and k not in seen:
+                seen.add(k)
+                miss_idx.append(i)
+        if miss_idx:
+            enc = self._backend.encode_batch([tok_arrays[i] for i in miss_idx])
+            billed = 0
+            for j, i in enumerate(miss_idx):
+                self._memo[keys[i]] = enc[j]
+                billed += int(consumed[i])
+            self.tracker.update(billed)
+        emb = np.stack([self._memo[k] for k in keys])
+        return pa.table(
+            {
+                self._id_col: batch.column(self._id_col).cast(pa.int64()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(emb.reshape(-1)), dim
+                ),
+                "consumed_tokens": pa.array(consumed),
+            }
+        )
