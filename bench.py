@@ -57,6 +57,7 @@ def headline_queries():
     from stack_trace_deduplication_ray.pipelines import (
         analysis,
         evaluation,
+        neural,
         ranking,
         relational,
         rerank,
@@ -77,6 +78,12 @@ def headline_queries():
         "lsh_near_pairs": similarity.lsh_near_pairs,
         "ann_recall": similarity.ann_recall,
         "lerch_pair_scores": ranking.lerch_pair_scores,
+        # round-5 additions: neural pair scorers (P4/P5, seeded numpy
+        # inference) and the embedding-client actor pool (T13) —
+        # totals before round 5 exclude these three entries
+        "s3m_pair_scores": neural.s3m_pair_scores,
+        "cross_encoder_rerank": neural.cross_encoder_rerank,
+        "embed_client_vectors": analysis.embed_client_vectors,
         "retrieval_rank_metrics": evaluation.retrieval_rank_metrics,
     }
 

@@ -190,9 +190,7 @@ class S3MNumpy:
                 self._cache[keys[i]] = enc[j]
         return np.stack([self._cache[k] for k in keys])
 
-    def score_pairs(self, texts_a: list[str], texts_b: list[str]) -> np.ndarray:
-        h1 = self.cached_encode(texts_a)
-        h2 = self.cached_encode(texts_b)
+    def _head(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         feats = np.concatenate(
             [
                 (h1 + h2) / 2.0,
@@ -203,6 +201,25 @@ class S3MNumpy:
         )
         z = np.maximum(feats @ self.W1 + self.b1, 0.0)
         return (z @ self.W2 + self.b2).reshape(-1).astype(np.float64)
+
+    def score_pairs(self, texts_a: list[str], texts_b: list[str]) -> np.ndarray:
+        return self._head(self.cached_encode(texts_a), self.cached_encode(texts_b))
+
+    def score_pairs_indexed(
+        self, texts: np.ndarray, ia: np.ndarray, ib: np.ndarray
+    ) -> np.ndarray:
+        """Pair scores over (doc array, pair index arrays): each USED
+        doc is encoded once (through the hidden cache), hidden rows
+        gather by index — no per-pair Python text list ever exists.
+        Equivalent to score_pairs(texts[ia], texts[ib]) (pinned in
+        tests); this is the hot path the candidate grid calls."""
+        if len(ia) == 0:
+            return np.empty(0, dtype=np.float64)
+        used = np.unique(np.concatenate([ia, ib]))
+        enc = self.cached_encode([texts[i] for i in used])
+        remap = np.empty(int(used.max()) + 1, dtype=np.int64)
+        remap[used] = np.arange(len(used))
+        return self._head(enc[remap[ia]], enc[remap[ib]])
 
 
 class LSTMCrossEncoderNumpy:

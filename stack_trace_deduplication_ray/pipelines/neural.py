@@ -62,8 +62,9 @@ def s3m_pair_scores(sf_dir: str, k: int = 5):
         from stack_trace_deduplication_ray.functions.neural import shared_s3m
 
         model = shared_s3m(S3M_SEED)
-        return model.score_pairs
+        return model.score_pairs_indexed
 
+    builder.indexed_pairs = True
     return _ranked_pairs_query(sf_dir, builder, k)
 
 

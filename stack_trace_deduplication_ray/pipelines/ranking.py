@@ -355,9 +355,16 @@ def _ranked_pairs_query(
                 li_b = np.where(swap, ia, ib)[o2]
                 src, dst = src[first], dst[first]
                 li_a, li_b = li_a[first], li_b[first]
-                sc = score_pairs(
-                    [texts[i] for i in li_a], [texts[i] for i in li_b]
-                )
+                if getattr(score_fn_builder, "indexed_pairs", False):
+                    # vectorized-kernel path: the scorer takes the
+                    # cell's doc array + pair index arrays, so no
+                    # per-pair Python list of texts is materialized
+                    # (the S3M head runs on gathered hidden rows)
+                    sc = score_pairs(texts, li_a, li_b)
+                else:
+                    sc = score_pairs(
+                        [texts[i] for i in li_a], [texts[i] for i in li_b]
+                    )
             df = pd.DataFrame(
                 {
                     "src": src.astype(np.int64),

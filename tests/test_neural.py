@@ -95,6 +95,25 @@ def test_cross_encoder_batch_split_equivalence():
     assert np.allclose(full, split, atol=1e-5)
 
 
+def test_s3m_indexed_equals_list_path():
+    """score_pairs_indexed (the grid's hot path: doc array + pair
+    index arrays, used docs encoded once) must equal score_pairs on
+    the materialized text lists."""
+    texts = np.asarray(
+        ["a b c", "x y z", "a b q", "common stream here", "unused doc"],
+        dtype=object,
+    )
+    ia = np.array([0, 1, 2, 0])
+    ib = np.array([2, 3, 0, 3])
+    s_idx = S3MNumpy().score_pairs_indexed(texts, ia, ib)
+    s_lst = S3MNumpy().score_pairs(
+        [texts[i] for i in ia], [texts[i] for i in ib]
+    )
+    assert np.allclose(s_idx, s_lst, atol=1e-6)
+    empty = np.array([], dtype=np.int64)
+    assert S3MNumpy().score_pairs_indexed(texts, empty, empty).shape == (0,)
+
+
 def test_seeded_reconstruction_identical():
     """Two instances from the same seed are the same model — the
     property that lets every worker rebuild weights locally instead
