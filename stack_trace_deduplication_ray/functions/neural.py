@@ -60,6 +60,55 @@ def token_ids(text: str, vocab_size: int) -> np.ndarray:
     return (h % np.uint64(vocab_size - _N_SPECIAL)).astype(np.int64) + _N_SPECIAL
 
 
+def token_ids_batch(texts: list[str], vocab_size: int) -> list[np.ndarray]:
+    """[token_ids(t) for t in texts], but ONE vectorized hash call over
+    every token of every text — per-text hashing is call-overhead-bound
+    on short documents (measured ~4x on 2048-doc batches)."""
+    if not texts:
+        return []
+    toks = [t.split(" ") for t in texts]
+    counts = np.fromiter(
+        (len(x) for x in toks), dtype=np.int64, count=len(toks)
+    )
+    flat = np.asarray([w for x in toks for w in x], dtype=object)
+    h = H.hash_bytes_arrays(flat)
+    ids = (h % np.uint64(vocab_size - _N_SPECIAL)).astype(np.int64) + _N_SPECIAL
+    return np.split(ids, np.cumsum(counts)[:-1])
+
+
+class _TokenMemo:
+    """Per-model token-id memo: pair queries re-present the same
+    document on many pairs (|pairs| = |queries| x k over <= |corpus|
+    distinct texts), so each distinct text is tokenized once. Bounded:
+    the table clears when it reaches `cap` entries (the pathological
+    all-distinct stream stays O(cap) memory and pays one wasted clear
+    per cap misses — noise)."""
+
+    def __init__(self, vocab_size: int, cap: int = 1 << 18):
+        self.vocab_size = vocab_size
+        self.cap = cap
+        self._m: dict[int, np.ndarray] = {}
+
+    def get(self, texts: list[str]) -> list[np.ndarray]:
+        keys = [hash(t) for t in texts]
+        # hits resolve BEFORE any cap-clear (a clear mid-fill must not
+        # drop a value this batch already claimed)
+        out = [self._m.get(k) for k in keys]
+        miss: dict[int, str] = {}
+        for i, (k, v) in enumerate(zip(keys, out)):
+            if v is None and k not in miss:
+                miss[k] = texts[i]
+        if miss:
+            if len(self._m) + len(miss) > self.cap:
+                self._m.clear()
+            fresh = dict(
+                zip(miss, token_ids_batch(list(miss.values()), self.vocab_size))
+            )
+            self._m.update(fresh)
+            out = [fresh[k] if v is None else v for k, v in zip(keys, out)]
+        return out
+
+
 def pad_id_lists(seqs: list[np.ndarray], max_len: int) -> tuple[np.ndarray, np.ndarray]:
     """Right-pad id lists (truncated to their LAST max_len ids, the
     reference's n_ctx window — rnn.py:80) into an (N, T) int64 matrix
@@ -171,7 +220,9 @@ class S3MNumpy:
         self._cache: dict[int, np.ndarray] = {}
 
     def encode(self, texts: list[str]) -> np.ndarray:
-        seqs = [token_ids(t, self.vocab_size) for t in texts]
+        # no token memo here: cached_encode dedups at the HIDDEN level,
+        # so encode only ever sees each distinct text once
+        seqs = token_ids_batch(texts, self.vocab_size)
         ids, lens = pad_id_lists(seqs, self.max_len)
         _, h_final = self.lstm.run(self.E[ids], lens)
         return h_final
@@ -252,6 +303,7 @@ class LSTMCrossEncoderNumpy:
         self.Wmix, self.bmix = _linear(rng, 6 * hidden, out_size)
         self.W1, self.b1 = _linear(rng, 2 * out_size, out_size)
         self.W2, self.b2 = _linear(rng, out_size, 1)
+        self._toks = _TokenMemo(vocab_size)
 
     def _encode_side(
         self, ids: np.ndarray, lens: np.ndarray, flags: np.ndarray
@@ -267,8 +319,11 @@ class LSTMCrossEncoderNumpy:
         return agg @ self.Wmix + self.bmix
 
     def score_pairs(self, texts_a: list[str], texts_b: list[str]) -> np.ndarray:
-        seq_a = [token_ids(t, self.vocab_size) for t in texts_a]
-        seq_b = [token_ids(t, self.vocab_size) for t in texts_b]
+        # rerank pair sets re-present each document ~k times (and the
+        # same texts batch over batch within an actor) — tokenize each
+        # distinct text once
+        seq_a = self._toks.get(texts_a)
+        seq_b = self._toks.get(texts_b)
         ids_a, lens_a = pad_id_lists(seq_a, self.n_ctx)
         ids_b, lens_b = pad_id_lists(seq_b, self.n_ctx)
         n = len(seq_a)

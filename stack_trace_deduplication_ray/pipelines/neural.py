@@ -154,11 +154,15 @@ def cross_encoder_rerank(sf_dir: str, k: int = 3, retrieve_k: int = 5):
             "dst", "__did_dst", cfg,
         )
 
+    # FIXED pool size (autoscaling ramp measured ~25% slower on the
+    # ~12-batch sf0.1 pair set), sized to the expected pair count
+    # (~n_docs x retrieve_k) so tiny corpora don't pay 8 actor starts
+    n_conc = int(max(1, min(8, (n_docs * retrieve_k) // 2048 + 1)))
     scored = j2.map_batches(
         CrossEncoderStage,
         batch_format="pyarrow",
         batch_size=2048,
-        concurrency=(1, 8),
+        concurrency=n_conc,
         num_cpus=1,
     )
 
