@@ -207,6 +207,7 @@ class S3MNumpy:
         hidden: int = 32,
         max_len: int = 48,
         seed: int = 0x53334D,
+        cache_cap: int = 1 << 18,
     ):
         rng = np.random.default_rng(np.random.PCG64(seed))
         self.vocab_size = vocab_size
@@ -217,6 +218,10 @@ class S3MNumpy:
         # head over [(h1+h2)/2 (2h), h1*h2 (2h), ||h1-h2|| (1)]
         self.W1, self.b1 = _linear(rng, 4 * hidden + 1, hidden)
         self.W2, self.b2 = _linear(rng, hidden, 1)
+        # bounded like _TokenMemo: the singleton lives for the worker
+        # process's whole life, so an uncapped hidden cache would grow
+        # with every distinct doc the worker ever scores
+        self._cache_cap = cache_cap
         self._cache: dict[int, np.ndarray] = {}
 
     def encode(self, texts: list[str]) -> np.ndarray:
@@ -229,17 +234,24 @@ class S3MNumpy:
 
     def cached_encode(self, texts: list[str]) -> np.ndarray:
         keys = [hash(t) for t in texts]
+        # hits resolve BEFORE any cap-clear (same discipline as
+        # _TokenMemo: a clear mid-fill must not drop a value this
+        # batch already claimed)
+        hits = [self._cache.get(k) for k in keys]
         miss_idx, miss_txt, seen = [], [], set()
-        for i, k in enumerate(keys):
-            if k not in self._cache and k not in seen:
+        for i, (k, v) in enumerate(zip(keys, hits)):
+            if v is None and k not in seen:
                 seen.add(k)
                 miss_idx.append(i)
                 miss_txt.append(texts[i])
         if miss_txt:
+            if len(self._cache) + len(miss_txt) > self._cache_cap:
+                self._cache.clear()
             enc = self.encode(miss_txt)
-            for j, i in enumerate(miss_idx):
-                self._cache[keys[i]] = enc[j]
-        return np.stack([self._cache[k] for k in keys])
+            fresh = {keys[i]: enc[j] for j, i in enumerate(miss_idx)}
+            self._cache.update(fresh)
+            hits = [fresh[k] if v is None else v for k, v in zip(keys, hits)]
+        return np.stack(hits)
 
     def _head(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
         feats = np.concatenate(

@@ -132,6 +132,7 @@ class EmbedClientStage:
         seed: int = 0xE0B,
         text_col: str = "text",
         id_col: str = "doc_id",
+        memo_cap: int = 1 << 18,
     ):
         if backend == "local":
             self._backend = DeterministicLocalBackend(dim=dim, seed=seed)
@@ -140,7 +141,12 @@ class EmbedClientStage:
         else:
             raise ValueError(f"unknown backend {backend!r}")
         self._max_input = max_input_tokens
-        self._memo: dict[np.uint64, np.ndarray] = {}
+        # bounded: a long-lived actor embedding an all-distinct stream
+        # must stay O(memo_cap) memory (one wasted clear per cap
+        # misses); re-billing after a clear matches the reference,
+        # whose memo is also process-local (main.py:36-46)
+        self._memo_cap = memo_cap
+        self._memo: dict[int, np.ndarray] = {}
         self.tracker = PriceTracker(price_per_1k_tokens, alert_every_spent_dollar)
         self._text_col = text_col
         self._id_col = id_col
@@ -170,20 +176,28 @@ class EmbedClientStage:
                     toks * np.uint64(0x9E3779B97F4A7C15) + pos
                 )
             keys.append(int(np.bitwise_xor.reduce(mixed)))
+        # hits resolve BEFORE any cap-clear (a clear mid-fill must not
+        # drop a value this batch already claimed)
+        hits = [self._memo.get(k) for k in keys]
         miss_idx = []
         seen: set = set()
-        for i, k in enumerate(keys):
-            if k not in self._memo and k not in seen:
+        for i, (k, v) in enumerate(zip(keys, hits)):
+            if v is None and k not in seen:
                 seen.add(k)
                 miss_idx.append(i)
         if miss_idx:
+            if len(self._memo) + len(miss_idx) > self._memo_cap:
+                self._memo.clear()
             enc = self._backend.encode_batch([tok_arrays[i] for i in miss_idx])
             billed = 0
+            fresh: dict[int, np.ndarray] = {}
             for j, i in enumerate(miss_idx):
-                self._memo[keys[i]] = enc[j]
+                fresh[keys[i]] = enc[j]
                 billed += int(consumed[i])
+            self._memo.update(fresh)
             self.tracker.update(billed)
-        emb = np.stack([self._memo[k] for k in keys])
+            hits = [fresh[k] if v is None else v for k, v in zip(keys, hits)]
+        emb = np.stack(hits)
         return pa.table(
             {
                 self._id_col: batch.column(self._id_col).cast(pa.int64()),

@@ -127,3 +127,39 @@ def test_embed_client_pipeline_batching_independent():
     )
     oracle = con.execute(sql).df().reset_index(drop=True)
     assert cost.astype("int64").equals(oracle.astype("int64"))
+
+
+def test_stage_memo_cap_bounds_memory_and_keeps_values():
+    # all-distinct stream through a tiny cap: embeddings must match an
+    # uncapped stage exactly and the memo must never exceed the cap
+    texts = [f"tok{i} tok{i + 1} tok{i + 2}" for i in range(25)]
+    capped = EmbedClientStage(dim=8, memo_cap=4)
+    plain = EmbedClientStage(dim=8)
+    outs_c, outs_p = [], []
+    for i in range(0, len(texts), 5):
+        chunk = texts[i : i + 5]
+        ids = list(range(i, i + len(chunk)))
+        outs_c.append(capped(_batch(chunk, ids)))
+        outs_p.append(plain(_batch(chunk, ids)))
+        assert len(capped._memo) <= 5  # cap=4 clears; <=1 batch resident
+    ec = np.concatenate(
+        [np.stack(o.column("embedding").to_numpy(zero_copy_only=False)) for o in outs_c]
+    )
+    ep = np.concatenate(
+        [np.stack(o.column("embedding").to_numpy(zero_copy_only=False)) for o in outs_p]
+    )
+    assert np.allclose(ec, ep)
+
+
+def test_stage_memo_cap_clear_mid_fill_keeps_batch_claims():
+    # one batch larger than the cap with internal duplicates: the
+    # clear must not drop values the same batch already claimed
+    st = EmbedClientStage(dim=8, memo_cap=2)
+    texts = ["a b", "c d", "a b", "e f", "g h", "a b"]
+    out = st(_batch(texts))
+    e = np.stack(out.column("embedding").to_numpy(zero_copy_only=False))
+    assert np.allclose(e[0], e[2])
+    assert np.allclose(e[0], e[5])
+    ref = EmbedClientStage(dim=8)(_batch(texts))
+    er = np.stack(ref.column("embedding").to_numpy(zero_copy_only=False))
+    assert np.allclose(e, er)

@@ -175,3 +175,29 @@ def test_cross_encoder_rerank_pipeline():
         .reset_index(drop=True)
     )
     assert df.equals(df2)
+
+
+def test_s3m_hidden_cache_cap_bounds_memory_and_keeps_scores():
+    # an all-distinct stream through a tiny hidden-cache cap must score
+    # identically to the uncapped model, with the cache staying bounded
+    ta = [f"alpha{i} beta{i}" for i in range(20)]
+    tb = [f"gamma{i} delta{i}" for i in range(20)]
+    capped = S3MNumpy(cache_cap=6)
+    plain = S3MNumpy()
+    got, want = [], []
+    for i in range(0, 20, 4):
+        got.append(capped.score_pairs(ta[i : i + 4], tb[i : i + 4]))
+        want.append(plain.score_pairs(ta[i : i + 4], tb[i : i + 4]))
+        assert len(capped._cache) <= 8  # cap clears; <=1 batch resident
+    assert np.allclose(np.concatenate(got), np.concatenate(want), atol=1e-6)
+
+
+def test_s3m_cache_cap_clear_mid_fill_keeps_batch_claims():
+    # one batch larger than the cap with duplicate texts: the clear
+    # must not drop hidden states this batch already claimed
+    m = S3MNumpy(cache_cap=2)
+    ta = ["a b", "c d", "a b", "e f"]
+    tb = ["x y", "x y", "z w", "z w"]
+    got = m.score_pairs(ta, tb)
+    want = S3MNumpy().score_pairs(ta, tb)
+    assert np.allclose(got, want, atol=1e-6)
