@@ -88,12 +88,27 @@ class DeterministicLocalBackend:
         self.dim = dim
 
     def encode_batch(self, token_lists: list[np.ndarray]) -> np.ndarray:
-        out = np.empty((len(token_lists), self.dim), dtype=np.float32)
-        for i, toks in enumerate(token_lists):
-            rows = self._table[(toks % self._n).astype(np.int64)]
-            v = rows.sum(axis=0)
-            out[i] = v / max(float(np.linalg.norm(v)), 1e-12)
-        return out
+        if not token_lists:
+            return np.empty((0, self.dim), dtype=np.float32)
+        lens = np.fromiter(
+            (len(t) for t in token_lists), dtype=np.int64, count=len(token_lists)
+        )
+        if (lens == 0).any():
+            # reduceat misreads zero-length segments; the pipeline
+            # never produces one (split(" ") yields >= 1 token), so
+            # the scalar path only exists for direct API callers
+            out = np.empty((len(token_lists), self.dim), dtype=np.float32)
+            for i, toks in enumerate(token_lists):
+                rows = self._table[(toks % self._n).astype(np.int64)]
+                v = rows.sum(axis=0)
+                out[i] = v / max(float(np.linalg.norm(v)), 1e-12)
+            return out
+        # one gather + one segmented sum over every token of every text
+        flat = (np.concatenate(token_lists) % self._n).astype(np.int64)
+        seg = np.concatenate([[0], np.cumsum(lens)[:-1]])
+        sums = np.add.reduceat(self._table[flat], seg, axis=0)
+        norms = np.maximum(np.linalg.norm(sums, axis=1), 1e-12)
+        return (sums / norms[:, None]).astype(np.float32)
 
 
 class ExternalServiceBackend:
@@ -162,20 +177,33 @@ class EmbedClientStage:
                 }
             )
         texts = batch.column(self._text_col).to_pylist()
-        tok_arrays, keys, consumed = [], [], np.empty(len(texts), np.int64)
-        for i, t in enumerate(texts):
-            toks = H.hash_bytes_arrays(t.split(" "))[-self._max_input :]
-            tok_arrays.append(toks)
-            consumed[i] = len(toks)
-            # memo key = hash of the TRUNCATED token stream (two texts
-            # identical in their billed window share one request);
-            # position-mixed so permutations don't collide
-            pos = np.arange(1, len(toks) + 1, dtype=np.uint64)
-            with np.errstate(over="ignore"):
-                mixed = H.splitmix64(
-                    toks * np.uint64(0x9E3779B97F4A7C15) + pos
-                )
-            keys.append(int(np.bitwise_xor.reduce(mixed)))
+        # ONE vectorized hash call over every token of every text
+        # (per-text hashing is call-overhead-bound on short documents
+        # — same measurement as functions.neural.token_ids_batch),
+        # then per-row truncation to the LAST max_input tokens and a
+        # segmented xor-reduce for the memo keys
+        tok_lists = [t.split(" ") for t in texts]
+        counts = np.fromiter(
+            (len(x) for x in tok_lists), dtype=np.int64, count=len(tok_lists)
+        )
+        h = H.hash_bytes_arrays(
+            np.asarray([w for x in tok_lists for w in x], dtype=object)
+        )
+        ends = np.cumsum(counts)
+        kept_len = np.minimum(counts, self._max_input)
+        starts = ends - kept_len
+        seg = np.concatenate([[0], np.cumsum(kept_len)[:-1]])
+        within = np.arange(int(kept_len.sum())) - np.repeat(seg, kept_len)
+        kept = h[np.repeat(starts, kept_len) + within]
+        consumed = kept_len
+        # memo key = hash of the TRUNCATED token stream (two texts
+        # identical in their billed window share one request);
+        # position-mixed so permutations don't collide
+        pos = within.astype(np.uint64) + np.uint64(1)
+        with np.errstate(over="ignore"):
+            mixed = H.splitmix64(kept * np.uint64(0x9E3779B97F4A7C15) + pos)
+        keys = np.bitwise_xor.reduceat(mixed, seg).tolist()
+        tok_arrays = np.split(kept, np.cumsum(kept_len)[:-1])
         # hits resolve BEFORE any cap-clear (a clear mid-fill must not
         # drop a value this batch already claimed)
         hits = [self._memo.get(k) for k in keys]
