@@ -42,6 +42,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         rerank,
         similarity,
         text,
+        training,
     )
 
     return {
@@ -71,6 +72,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # --- P4/P5 neural cross-encoders (seeded numpy inference) ----
         "s3m_pair_scores": neural.s3m_pair_scores,
         "cross_encoder_rerank": neural.cross_encoder_rerank,
+        # head training (train_model.py shape; analytic gradients,
+        # distributed feature extraction + grad passes) — rows-only:
+        # an iterative optimizer is not SQL-expressible; proxy =
+        # val_auc_trained >> val_auc_untrained on the held-out split
+        "train_cross_encoder_metrics": (
+            training.train_cross_encoder_metrics
+        ),
         # --- T13 embedding client (local deterministic backend) ------
         "embed_client_vectors": analysis.embed_client_vectors,
         "embed_client_cost": analysis.embed_client_cost,

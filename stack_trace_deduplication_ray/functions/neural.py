@@ -127,6 +127,83 @@ def _sigmoid(x: np.ndarray) -> np.ndarray:
     return 1.0 / (1.0 + np.exp(-x))
 
 
+def pair_features(h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+    """S3M pair feature map over encoded sides (s3m.py:82-96 forward):
+    [(h1+h2)/2, h1*h2, ||h1-h2||] -> (N, 2*enc_dim + 1)."""
+    return np.concatenate(
+        [
+            (h1 + h2) / 2.0,
+            h1 * h2,
+            np.linalg.norm(h1 - h2, axis=1, keepdims=True),
+        ],
+        axis=1,
+    )
+
+
+def head_logits(feats: np.ndarray, params) -> np.ndarray:
+    """2-layer ReLU head forward: feats (N,D) -> logits (N,)."""
+    W1, b1, W2, b2 = params
+    a = np.maximum(feats @ W1 + b1, 0.0)
+    return (a @ W2 + b2).reshape(-1)
+
+
+def head_loss_and_grads(feats: np.ndarray, y: np.ndarray, params):
+    """SUM binary-cross-entropy-with-logits loss and its exact
+    analytic gradients w.r.t. the head params, over one batch of pair
+    features `feats` (N,D) with targets `y` in {0,1}.
+
+    The loss is the reference's reranker objective — BCEWithLogits on
+    positive pairs toward 1 and negative pairs toward 0
+    (reranker_losses.py:46-54 BCELossWithLogits.forward; wired into
+    the cross-encoder trainer at train_model.py:75-76,160-162). SUMS
+    (not means) are returned so per-batch partials add exactly across
+    a distributed gradient pass; everything is computed in float64 so
+    the distributed sum and the single-call full batch agree to
+    addition-order noise. Verified against finite differences in
+    tests/test_training.py."""
+    W1, b1, W2, b2 = (np.asarray(p, dtype=np.float64) for p in params)
+    feats = np.asarray(feats, dtype=np.float64)
+    y = np.asarray(y, dtype=np.float64)
+    z = feats @ W1 + b1
+    a = np.maximum(z, 0.0)
+    logit = (a @ W2 + b2).reshape(-1)
+    # numerically stable BCE-with-logits: max(x,0) - x*y + log1p(e^-|x|)
+    loss = np.maximum(logit, 0.0) - logit * y + np.log1p(np.exp(-np.abs(logit)))
+    d = (_sigmoid(logit) - y)[:, None]  # dLoss/dlogit, (N,1)
+    gW2 = a.T @ d
+    gb2 = d.sum(axis=0)
+    dz = (d @ W2.T) * (z > 0.0)
+    gW1 = feats.T @ dz
+    gb1 = dz.sum(axis=0)
+    return float(loss.sum()), (gW1, gb1, gW2, gb2)
+
+
+class AdamState:
+    """Minimal deterministic Adam (Kingma & Ba 2015), float64 state.
+    The reference trains with Lightning's default Adam; this is the
+    same update rule written out."""
+
+    def __init__(self, params, lr: float = 0.05, beta1: float = 0.9,
+                 beta2: float = 0.999, eps: float = 1e-8):
+        self.lr, self.b1, self.b2, self.eps = lr, beta1, beta2, eps
+        self.t = 0
+        self.m = [np.zeros_like(np.asarray(p, dtype=np.float64)) for p in params]
+        self.v = [np.zeros_like(np.asarray(p, dtype=np.float64)) for p in params]
+
+    def step(self, params, grads):
+        self.t += 1
+        out = []
+        for i, (p, g) in enumerate(zip(params, grads)):
+            p = np.asarray(p, dtype=np.float64)
+            g = np.asarray(g, dtype=np.float64)
+            self.m[i] = self.b1 * self.m[i] + (1 - self.b1) * g
+            self.v[i] = self.b2 * self.v[i] + (1 - self.b2) * g * g
+            mh = self.m[i] / (1 - self.b1 ** self.t)
+            vh = self.v[i] / (1 - self.b2 ** self.t)
+            out.append(p - self.lr * mh / (np.sqrt(vh) + self.eps))
+        return tuple(out)
+
+
 def _linear(rng: np.random.Generator, fan_in: int, fan_out: int):
     k = 1.0 / np.sqrt(fan_in)
     W = rng.uniform(-k, k, (fan_in, fan_out)).astype(np.float32)
@@ -253,17 +330,21 @@ class S3MNumpy:
             hits = [fresh[k] if v is None else v for k, v in zip(keys, hits)]
         return np.stack(hits)
 
-    def _head(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
-        feats = np.concatenate(
-            [
-                (h1 + h2) / 2.0,
-                h1 * h2,
-                np.linalg.norm(h1 - h2, axis=1, keepdims=True),
-            ],
-            axis=1,
+    @property
+    def head_params(self):
+        return (self.W1, self.b1, self.W2, self.b2)
+
+    def set_head_params(self, params) -> None:
+        """Install trained head params (pipelines/training.py); the
+        frozen encoder and its hidden cache are untouched."""
+        self.W1, self.b1, self.W2, self.b2 = (
+            np.asarray(p, dtype=np.float32) for p in params
         )
-        z = np.maximum(feats @ self.W1 + self.b1, 0.0)
-        return (z @ self.W2 + self.b2).reshape(-1).astype(np.float64)
+
+    def _head(self, h1: np.ndarray, h2: np.ndarray) -> np.ndarray:
+        return head_logits(pair_features(h1, h2), self.head_params).astype(
+            np.float64
+        )
 
     def score_pairs(self, texts_a: list[str], texts_b: list[str]) -> np.ndarray:
         return self._head(self.cached_encode(texts_a), self.cached_encode(texts_b))

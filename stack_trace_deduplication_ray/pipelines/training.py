@@ -1,0 +1,479 @@
+"""From-scratch training for the neural pair scorer (reference
+train_model.py shape, Ray-Data-native).
+
+The reference trains its cross-encoders with PyTorch Lightning over a
+TripletDataset — within-group (anchor, positive) pairs from labeled
+duplicate groups, a random corpus row as the negative
+(/root/reference/ea/sim/dev/scripts/training/datasets/triplet.py:42-63
+create_triplets_all_with_all, capped per group), optimized with
+BCEWithLogits toward 1 on positives / 0 on negatives
+(reranker_losses.py:46-54; wired at train_model.py:75-76,105-165,
+batch_size 64, epochs 5). Torch is absent here, so full-BPTT training
+of the biLSTM encoder is out of scope; what this module trains — with
+exact analytic gradients, no autograd framework — is the S3M scoring
+head (s3m.py:82-96: MLP over [(h1+h2)/2, h1*h2, ||h1-h2||]) on top of
+the frozen seeded encoder, i.e. the probing-head regime. That is the
+part of the reference's training loop whose value survives a frozen
+encoder, and it is enough to take the pair scorer from chance to
+near-perfect separation on the labeled fixture (quality proxy in
+`train_cross_encoder_metrics`; gradients are verified against finite
+differences in tests/test_training.py).
+
+The expensive stage — biLSTM-encoding every triplet side into the
+S3M pair features — runs exactly once, as an actor-pool
+``map_batches`` (the model rebuilds from its integer seed in each
+actor; each distinct text is encoded once through the hidden cache,
+s3m.py:65-81). Optimization then runs over the cached feature
+dataset:
+
+* driver path (default below ``driver_gate`` feature rows): one
+  bounded pull of the train-split features, full-batch Adam loop —
+  the feature matrix for a labeled training set is small by
+  construction (the reference's train.csv regime);
+* distributed path (above the gate, or forced): each Adam step is one
+  ``map_batches`` pass over the feature dataset — per-batch loss/grad
+  SUMS (float64) against the current params broadcast with
+  ``ray.put``, a tiny fixed-width partial table (one row per batch,
+  ~4k floats), driver-side deterministic sum (sorted by partial key)
+  and Adam update. Per-step cost is one streaming pass; nothing
+  model-sized is ever shipped per row. The two paths produce the same
+  gradients (pinned by test).
+
+Triplet construction is distributed: duplicate groups partition by
+cluster id (``partitioned_groups`` — ONE shuffle), each group emits
+ring pairs capped at ``max_pairs_per_group`` (the reference caps
+all-with-all sampling the same way), and negatives come from a
+hash-sampled bounded corpus pool (broadcast once via ``ray.put``)
+with seeded index probing that — unlike the reference's
+``random.choice`` — never lands in the anchor's own group.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import ray
+
+from stack_trace_deduplication_ray.config import DEFAULT_CONFIG, DedupConfig
+from stack_trace_deduplication_ray.functions import hashing as H
+from stack_trace_deduplication_ray.functions.neural import (
+    AdamState,
+    S3MNumpy,
+    head_logits,
+    head_loss_and_grads,
+    pair_features,
+    shared_s3m,
+)
+
+TRAIN_SEED = 0x53334D  # same family as the inference singleton
+
+_FEAT_DIM = 129  # 2*(2*hidden) + 1 at the default hidden=32
+
+
+def _fixture_labeled_captions(sf_dir: str):
+    """(image_id, caption, cluster_id) dataset from the deterministic
+    synthetic fixture — the labeled-duplicate-groups table that plays
+    the reference's train.csv (load_groups) role. Columns are pruned
+    at the read; `bytes` never loads."""
+    import ray.data as rd
+
+    from stack_trace_deduplication_ray.pipelines.dedup import (
+        _fixture_rows_for_sf,
+    )
+    from stack_trace_deduplication_ray.fixtures.images import (
+        materialize_fixture,
+    )
+    from stack_trace_deduplication_ray.stages.joins import (
+        broadcast_attach,
+        join_ds,
+        should_broadcast,
+    )
+
+    n_rows = _fixture_rows_for_sf(sf_dir)
+    d = materialize_fixture(n_rows, seed=42)
+    caps = rd.read_parquet(
+        os.path.join(d, "images.parquet"), columns=["image_id", "caption"]
+    )
+    truth = rd.read_parquet(
+        os.path.join(d, "truth_clusters.parquet"),
+        columns=["image_id", "cluster_id"],
+    )
+    cfg = DEFAULT_CONFIG
+
+    def ren(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "__tid": batch.column("image_id"),
+                "cluster_id": batch.column("cluster_id"),
+            }
+        )
+
+    truth_r = truth.map_batches(ren, batch_format="pyarrow")
+    # labels are id+group only (no payload): a 4x-widened gate is safe
+    if should_broadcast(cfg, n_rows, 4 * cfg.broadcast_join_max_rows):
+        ds = broadcast_attach(
+            caps, truth_r, "image_id", "__tid", cfg,
+            right_rows=n_rows, max_rows=4 * cfg.broadcast_join_max_rows,
+        )
+    else:
+        ds = join_ds(caps, truth_r, "image_id", "__tid", cfg)
+    return ds, n_rows
+
+
+def _negative_pool(ds, corpus_rows: int, pool_cap: int, seed: int):
+    """Hash-sampled bounded pool of (cluster_hash, caption) negatives,
+    streamed off the labeled dataset — never a full-table driver pull
+    (the sampling cut runs distributed; what reaches the driver is
+    ~2x pool_cap rows worst case). Returns (cluster_hash uint64 array,
+    captions object array)."""
+    # keep-probability sized so ~2*pool_cap rows survive the cut
+    thresh = np.uint64(
+        min(1.0, 2.0 * pool_cap / max(corpus_rows, 1)) * float(1 << 16)
+    )
+
+    def keep(batch: pa.Table) -> pa.Table:
+        ids = batch.column("image_id").to_pylist()
+        h = H.hash_bytes_arrays(
+            [str(x).encode() for x in ids], seed=seed ^ 0xB00
+        )
+        mask = pa.array((h & np.uint64(0xFFFF)) < thresh)
+        return batch.filter(mask)
+
+    ch, caps = [], []
+    got = 0
+    for b in ds.map_batches(keep, batch_format="pyarrow").iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        cl = [str(x).encode() for x in b.column("cluster_id").to_pylist()]
+        ch.append(H.hash_bytes_arrays(cl, seed=seed ^ 0xC1))
+        caps.extend(b.column("caption").to_pylist())
+        got += len(b)
+        if got >= pool_cap:
+            break
+    cluster_hash = (
+        np.concatenate(ch)[:pool_cap]
+        if ch
+        else np.empty(0, dtype=np.uint64)
+    )
+    return cluster_hash, np.asarray(caps[:pool_cap], dtype=object)
+
+
+def triplet_dataset(
+    sf_dir: str,
+    cfg: DedupConfig | None = None,
+    max_pairs_per_group: int = 8,
+    pool_cap: int = 1 << 16,
+    seed: int = TRAIN_SEED,
+):
+    """Distributed triplet construction (triplet.py:42-63 semantics):
+    one shuffle partitions rows by duplicate group; each group ≥2 emits
+    ring (anchor, positive) pairs capped at `max_pairs_per_group`;
+    seeded negatives draw from the broadcast pool, probing past any
+    index whose group matches the anchor's. Output columns
+    (anchor_id, anchor, positive, negative, is_val) — is_val is a
+    deterministic 1/8 anchor-hash holdout (the reference's val.csv
+    split role)."""
+    from stack_trace_deduplication_ray.stages.joins import (
+        partitioned_groups,
+    )
+
+    cfg = cfg or DEFAULT_CONFIG
+    labeled, corpus_rows = _fixture_labeled_captions(sf_dir)
+    pool_hash, pool_caps = _negative_pool(labeled, corpus_rows, pool_cap, seed)
+    pool_ref = ray.put((pool_hash, pool_caps))
+    n_pool = len(pool_hash)
+    if n_pool < 2:
+        raise ValueError("negative pool is empty")
+
+    def emit(part: pd.DataFrame) -> pd.DataFrame:
+        ph, pc = ray.get(pool_ref)
+        out_aid, out_a, out_p, out_neg_idx, out_chash = [], [], [], [], []
+        for cl, g in part.groupby("cluster_id", sort=False):
+            k = len(g)
+            if k < 2:
+                continue
+            g = g.sort_values("image_id", kind="stable")
+            ids = g["image_id"].to_numpy()
+            txt = g["caption"].to_numpy()
+            n_pairs = min(k if k > 2 else 1, max_pairs_per_group)
+            a_idx = np.arange(n_pairs)
+            p_idx = (a_idx + 1) % k
+            out_aid.append(ids[a_idx])
+            out_a.append(txt[a_idx])
+            out_p.append(txt[p_idx])
+            ah = H.hash_bytes_arrays(
+                [str(x).encode() for x in ids[a_idx]], seed=seed
+            )
+            out_neg_idx.append(ah % np.uint64(n_pool))
+            ch = H.hash_bytes_arrays([str(cl).encode()], seed=seed ^ 0xC1)
+            out_chash.append(np.full(n_pairs, ch[0], dtype=np.uint64))
+        if not out_aid:
+            return pd.DataFrame(
+                {
+                    "anchor_id": pd.Series([], dtype=object),
+                    "anchor": pd.Series([], dtype=object),
+                    "positive": pd.Series([], dtype=object),
+                    "negative": pd.Series([], dtype=object),
+                    "is_val": pd.Series([], dtype=bool),
+                }
+            )
+        aid = np.concatenate(out_aid)
+        idx = np.concatenate(out_neg_idx).astype(np.int64)
+        chash = np.concatenate(out_chash)
+        # probe past same-group pool slots (the reference's
+        # random.choice can collide with the anchor's own group; the
+        # probe makes every negative a true negative)
+        bad = ph[idx] == chash
+        while bad.any():
+            idx[bad] = (idx[bad] + 1) % n_pool
+            bad = ph[idx] == chash
+        ah = H.hash_bytes_arrays([str(x).encode() for x in aid], seed=7)
+        return pd.DataFrame(
+            {
+                "anchor_id": [str(x) for x in aid],
+                "anchor": np.concatenate(out_a),
+                "positive": np.concatenate(out_p),
+                "negative": pc[idx],
+                "is_val": (ah & np.uint64(7)) == np.uint64(0),
+            }
+        )
+
+    return partitioned_groups(labeled, "cluster_id", emit, cfg)
+
+
+class TripletFeatureStage:
+    """Actor-pool feature extractor: the frozen seeded S3M encoder
+    rebuilds once per actor from its integer seed (T5 fit-once shape);
+    each batch of triplets becomes (f_pos, f_neg) S3M pair-feature
+    rows — each distinct text biLSTM-encoded once via the hidden cache
+    (s3m.py:65-81)."""
+
+    def __init__(self, seed: int = TRAIN_SEED):
+        self.model: S3MNumpy = shared_s3m(seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        f32 = pa.list_(pa.float32(), _FEAT_DIM)
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "f_pos": pa.array([], type=f32),
+                    "f_neg": pa.array([], type=f32),
+                    "is_val": pa.array([], type=pa.bool_()),
+                }
+            )
+        a = self.model.cached_encode(batch.column("anchor").to_pylist())
+        p = self.model.cached_encode(batch.column("positive").to_pylist())
+        n = self.model.cached_encode(batch.column("negative").to_pylist())
+        fp = pair_features(a, p).astype(np.float32)
+        fn = pair_features(a, n).astype(np.float32)
+        return pa.table(
+            {
+                "f_pos": pa.FixedSizeListArray.from_arrays(
+                    pa.array(fp.reshape(-1)), _FEAT_DIM
+                ).cast(f32),
+                "f_neg": pa.FixedSizeListArray.from_arrays(
+                    pa.array(fn.reshape(-1)), _FEAT_DIM
+                ).cast(f32),
+                "is_val": batch.column("is_val"),
+            }
+        )
+
+
+def _feats_of(batch: pa.Table, col: str) -> np.ndarray:
+    arr = batch.column(col).combine_chunks()
+    return np.asarray(arr.values).reshape(-1, _FEAT_DIM)
+
+
+def _batch_xy(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+    """Triplet-feature batch -> (pair features, targets): every
+    triplet contributes its positive pair toward 1 and its negative
+    pair toward 0 (BCELossWithLogits.forward semantics)."""
+    fp = _feats_of(batch, "f_pos")
+    fn = _feats_of(batch, "f_neg")
+    x = np.concatenate([fp, fn], axis=0)
+    y = np.concatenate(
+        [np.ones(len(fp)), np.zeros(len(fn))]
+    )
+    return x, y
+
+
+def distributed_loss_grads(feats_ds, params):
+    """One synchronous data-parallel gradient pass: params broadcast
+    via ray.put, per-batch float64 loss/grad SUMS emitted as one
+    fixed-width row each, summed on the driver in sorted-key order
+    (deterministic across runs at a given partitioning). Returns
+    (mean loss, grad tuple scaled to the mean)."""
+    params_ref = ray.put(tuple(np.asarray(p, dtype=np.float64) for p in params))
+    shapes = [np.asarray(p).shape for p in params]
+    sizes = [int(np.prod(s)) for s in shapes]
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.uint64()),
+                    "loss": pa.array([], type=pa.float64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "grad": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        prm = ray.get(params_ref)
+        x, y = _batch_xy(batch)
+        loss, grads = head_loss_and_grads(x, y, prm)
+        flat = np.concatenate([g.reshape(-1) for g in grads])
+        key = H.hash_bytes_arrays([flat.tobytes()])[:1]
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "loss": pa.array([loss]),
+                "n": pa.array([len(x)], type=pa.int64()),
+                "grad": pa.array([flat.tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    parts = feats_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=4096
+    ).to_pandas()
+    parts = parts.sort_values("key", kind="stable")
+    n = int(parts["n"].sum())
+    loss = float(parts["loss"].sum()) / max(n, 1)
+    flat = np.zeros(sum(sizes), dtype=np.float64)
+    for g in parts["grad"]:
+        flat += np.asarray(g, dtype=np.float64)
+    flat /= max(n, 1)
+    grads, off = [], 0
+    for s, sz in zip(shapes, sizes):
+        grads.append(flat[off : off + sz].reshape(s))
+        off += sz
+    return loss, tuple(grads)
+
+
+def _eval_split(x: np.ndarray, y: np.ndarray, params) -> dict:
+    """AUC (rank-based Mann-Whitney), mean positive-negative logit
+    margin, and mean BCE loss of `params` on a feature split."""
+    logit = head_logits(x.astype(np.float64), params)
+    pos, neg = logit[y == 1.0], logit[y == 0.0]
+    order = np.argsort(np.concatenate([pos, neg]), kind="stable")
+    ranks = np.empty(len(order), dtype=np.float64)
+    ranks[order] = np.arange(1, len(order) + 1)
+    auc = (
+        (ranks[: len(pos)].sum() - len(pos) * (len(pos) + 1) / 2)
+        / max(len(pos) * len(neg), 1)
+    )
+    loss, _ = head_loss_and_grads(x, y, params)
+    return {
+        "auc": float(auc),
+        "margin": float(pos.mean() - neg.mean()) if len(pos) and len(neg) else 0.0,
+        "loss": loss / max(len(x), 1),
+    }
+
+
+def train_s3m_head(
+    sf_dir: str,
+    steps: int = 40,
+    lr: float = 0.05,
+    seed: int = TRAIN_SEED,
+    driver_gate: int = 200_000,
+    force_distributed: bool = False,
+    cfg: DedupConfig | None = None,
+):
+    """Train the S3M head on the labeled fixture triplets; returns
+    {"params": trained head params, "metrics": dict}. Full-batch Adam
+    (`steps` updates) — the driver loop owns the optimizer state
+    either way; only where gradients are computed differs (see module
+    docstring)."""
+    cfg = cfg or DEFAULT_CONFIG
+    trip = triplet_dataset(sf_dir, cfg, seed=seed)
+    feats = trip.map_batches(
+        TripletFeatureStage,
+        fn_constructor_kwargs={"seed": seed},
+        batch_format="pyarrow",
+        batch_size=1024,
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).materialize()
+
+    def split(want_val: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = batch.column("is_val")
+            return batch.filter(m if want_val else pc.invert(m))
+
+        return feats.map_batches(f, batch_format="pyarrow")
+
+    train_ds = split(False)
+    val_ds = split(True)
+    n_train = train_ds.count()
+
+    model = S3MNumpy(seed=seed)
+    params = tuple(np.asarray(p, dtype=np.float64) for p in model.head_params)
+    init_params = params
+
+    losses: list[float] = []
+    opt = AdamState(params, lr=lr)
+    use_driver = (n_train <= driver_gate) and not force_distributed
+    if use_driver:
+        xs, ys = [], []
+        for b in train_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            x, y = _batch_xy(b)
+            xs.append(x)
+            ys.append(y)
+        X = np.concatenate(xs) if xs else np.empty((0, _FEAT_DIM))
+        Y = np.concatenate(ys) if ys else np.empty(0)
+        for _ in range(steps):
+            loss, grads = head_loss_and_grads(X, Y, params)
+            loss /= max(len(X), 1)
+            grads = tuple(g / max(len(X), 1) for g in grads)
+            losses.append(loss)
+            params = opt.step(params, grads)
+    else:
+        train_ds = train_ds.materialize()
+        for _ in range(steps):
+            loss, grads = distributed_loss_grads(train_ds, params)
+            losses.append(loss)
+            params = opt.step(params, grads)
+
+    # bounded validation pull: the 1/8 holdout of a labeled training
+    # set is driver-small; at larger scales shrink via the same hash
+    vx, vy = [], []
+    for b in val_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        x, y = _batch_xy(b)
+        vx.append(x)
+        vy.append(y)
+    VX = np.concatenate(vx) if vx else np.empty((0, _FEAT_DIM))
+    VY = np.concatenate(vy) if vy else np.empty(0)
+
+    before = _eval_split(VX, VY, init_params)
+    after = _eval_split(VX, VY, params)
+    metrics = {
+        "n_triplets": float(n_train + len(VX) // 2),
+        "n_train_pairs": float(n_train * 2),
+        "n_val_pairs": float(len(VX)),
+        "steps": float(steps),
+        "distributed": float(not use_driver),
+        "loss_initial": losses[0] if losses else 0.0,
+        "loss_final": losses[-1] if losses else 0.0,
+        "val_loss_untrained": before["loss"],
+        "val_loss_trained": after["loss"],
+        "val_auc_untrained": before["auc"],
+        "val_auc_trained": after["auc"],
+        "val_margin_untrained": before["margin"],
+        "val_margin_trained": after["margin"],
+    }
+    return {"params": params, "metrics": metrics}
+
+
+def train_cross_encoder_metrics(sf_dir: str):
+    """queries() entry (rows-only — an iterative optimizer is not
+    SQL-expressible): train the S3M head on the labeled fixture and
+    report the before/after separation on the held-out split. The
+    quality proxy the driver records: val_auc_trained ~1.0 from an
+    untrained ~chance baseline, loss strictly decreased."""
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
+
+    res = train_s3m_head(sf_dir)
+    return metrics_table(res["metrics"])
