@@ -79,6 +79,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_cross_encoder_metrics": (
             training.train_cross_encoder_metrics
         ),
+        # full-model BPTT fine-tune (hand-derived gradients for every
+        # parameter, FD-verified) — rows-only for the same reason
+        "train_s3m_full_metrics": training.train_s3m_full_metrics,
         # --- T13 embedding client (local deterministic backend) ------
         "embed_client_vectors": analysis.embed_client_vectors,
         "embed_client_cost": analysis.embed_client_cost,

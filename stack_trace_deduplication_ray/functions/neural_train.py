@@ -1,0 +1,411 @@
+"""Full-model training for the S3M cross-encoder: from-scratch
+backpropagation through time, no autograd framework.
+
+`pipelines/training.py` trains the scoring head over a frozen
+encoder; this module removes the freeze. `S3MTrainable` carries the
+SAME parameters as the inference model `neural.S3MNumpy` (identical
+seeded init — training starts exactly where the deployed scorer
+starts) and computes exact analytic gradients of the reference's
+BCE-with-logits triplet objective (reranker_losses.py:46-54) with
+respect to EVERY parameter: the token embedding table, both LSTM
+directions (W, U, b each), and the two head layers — the full
+gradient the reference's torch training computes
+(train_model.py:105-165), derived by hand here:
+
+* the LSTM backward replays the gate algebra in reverse with the
+  pack-padded masking respected: a padded step's state carried
+  `h_t = h_{t-1}` forward, so its gradient carries `dh_{t-1} += dh_t`
+  straight through and contributes nothing to the gates;
+* the backward-direction LSTM consumed each row's reversed valid
+  prefix, so its embedding gradient un-reverses through the same
+  index map;
+* S3M uses only the final hidden state of each side (s3m.py:37-62),
+  so BPTT seeds from `dh_final` alone;
+* the pair feature map [(h1+h2)/2, h1*h2, ||h1-h2||] backprops into
+  BOTH sides of every pair, and an anchor shared by a positive and a
+  negative pair accumulates both contributions via the scatter-add
+  into the embedding table;
+* PAD embedding row stays frozen at zero (its gradient is masked),
+  matching padding_idx=0 embeddings in the reference.
+
+Everything is float64 and SUM-form, so per-batch partials add exactly
+across a distributed gradient pass (same contract as
+`neural.head_loss_and_grads`). Verified parameter-by-parameter
+against central finite differences in tests/test_training_full.py.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from stack_trace_deduplication_ray.functions.neural import (
+    S3MNumpy,
+    _sigmoid,
+    pad_id_lists,
+    token_ids_batch,
+)
+from stack_trace_deduplication_ray.functions.tokenize import PAD_ID
+
+# canonical parameter order for flatten/unflatten across the wire
+PARAM_NAMES = (
+    "E",
+    "Wf", "Uf", "bf",
+    "Wb", "Ub", "bb",
+    "W1", "b1", "W2", "b2",
+)
+
+
+def params_from_model(model: S3MNumpy) -> dict[str, np.ndarray]:
+    """float64 training copies of an inference model's parameters."""
+    p = {
+        "E": model.E,
+        "Wf": model.lstm.fwd[0], "Uf": model.lstm.fwd[1], "bf": model.lstm.fwd[2],
+        "Wb": model.lstm.bwd[0], "Ub": model.lstm.bwd[1], "bb": model.lstm.bwd[2],
+        "W1": model.W1, "b1": model.b1, "W2": model.W2, "b2": model.b2,
+    }
+    return {k: np.asarray(v, dtype=np.float64).copy() for k, v in p.items()}
+
+
+def install_params(model: S3MNumpy, params: dict[str, np.ndarray]) -> None:
+    """Write trained params back into an inference model (float32,
+    the serving dtype); clears its hidden cache."""
+    f32 = lambda k: np.asarray(params[k], dtype=np.float32)  # noqa: E731
+    model.E = f32("E")
+    model.E[PAD_ID] = 0.0
+    model.lstm.fwd = (f32("Wf"), f32("Uf"), f32("bf"))
+    model.lstm.bwd = (f32("Wb"), f32("Ub"), f32("bb"))
+    model.W1, model.b1 = f32("W1"), f32("b1")
+    model.W2, model.b2 = f32("W2"), f32("b2")
+    model._cache.clear()
+
+
+def flatten_params(params: dict[str, np.ndarray]) -> np.ndarray:
+    return np.concatenate([params[k].reshape(-1) for k in PARAM_NAMES])
+
+
+def unflatten_params(flat: np.ndarray, like: dict[str, np.ndarray]):
+    out, off = {}, 0
+    for k in PARAM_NAMES:
+        sz = like[k].size
+        out[k] = flat[off : off + sz].reshape(like[k].shape)
+        off += sz
+    return out
+
+
+def _lstm_forward_cached(ids_emb, lens, W, U, b, h):
+    """One LSTM direction with caches for BPTT. Returns (h_final,
+    cache). `ids_emb` is the (N,T,d) embedded input for THIS
+    direction (already reversed for the backward direction)."""
+    N, T, _ = ids_emb.shape
+    hs = np.zeros((N, h))
+    cs = np.zeros((N, h))
+    cache = []
+    for t in range(T):
+        active = (t < lens)[:, None].astype(np.float64)
+        z = ids_emb[:, t, :] @ W + hs @ U + b
+        i = _sigmoid(z[:, :h])
+        f = _sigmoid(z[:, h : 2 * h])
+        g = np.tanh(z[:, 2 * h : 3 * h])
+        o = _sigmoid(z[:, 3 * h :])
+        c_new = f * cs + i * g
+        tc = np.tanh(c_new)
+        h_new = o * tc
+        cache.append((hs, cs, i, f, g, o, tc, active))
+        hs = active * h_new + (1 - active) * hs
+        cs = active * c_new + (1 - active) * cs
+    return hs, cache
+
+
+def _lstm_backward(ids_emb, lens, W, U, dh_final, cache, h):
+    """BPTT for one direction seeded from the final-hidden gradient.
+    Returns (d_emb (N,T,d), dW, dU, db)."""
+    N, T, d = ids_emb.shape
+    dW = np.zeros_like(W)
+    dU = np.zeros_like(U)
+    db = np.zeros(4 * h)
+    d_emb = np.zeros((N, T, d))
+    dh = dh_final.copy()
+    dc = np.zeros((N, h))
+    for t in range(T - 1, -1, -1):
+        h_prev, c_prev, i, f, g, o, tc, active = cache[t]
+        dh_new = dh * active
+        dh_skip = dh * (1 - active)
+        dc_new = dc * active
+        dc_skip = dc * (1 - active)
+        do = dh_new * tc
+        dct = dh_new * o * (1 - tc * tc) + dc_new
+        df = dct * c_prev
+        di = dct * g
+        dg = dct * i
+        dz = np.concatenate(
+            [
+                di * i * (1 - i),
+                df * f * (1 - f),
+                dg * (1 - g * g),
+                do * o * (1 - o),
+            ],
+            axis=1,
+        )
+        x_t = ids_emb[:, t, :]
+        dW += x_t.T @ dz
+        dU += h_prev.T @ dz
+        db += dz.sum(axis=0)
+        d_emb[:, t, :] = dz @ W.T
+        dh = dz @ U.T + dh_skip
+        dc = dct * f + dc_skip
+    return d_emb, dW, dU, db
+
+
+def _reverse_padded(emb: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    N, T, _ = emb.shape
+    idx = np.arange(T)[None, :]
+    rev = np.where(idx < lens[:, None], lens[:, None] - 1 - idx, 0)
+    out = emb[np.arange(N)[:, None], rev].copy()
+    out[idx >= lens[:, None]] = 0.0
+    return out
+
+
+def _encode_with_cache(ids, lens, params, h):
+    """Both directions forward with caches. Returns (h_final (N,2h),
+    forward cache bundle for the backward pass)."""
+    emb = params["E"][ids]
+    emb[ids == PAD_ID] = 0.0
+    emb_r = _reverse_padded(emb, lens)
+    hf, cf = _lstm_forward_cached(emb, lens, params["Wf"], params["Uf"], params["bf"], h)
+    hb, cb = _lstm_forward_cached(emb_r, lens, params["Wb"], params["Ub"], params["bb"], h)
+    return np.concatenate([hf, hb], axis=1), (emb, emb_r, cf, cb)
+
+
+def _encoder_backward(ids, lens, params, h, fwd_state, dh_cat, grads):
+    """Backprop a final-hidden gradient through both directions and
+    scatter the embedding gradient (PAD row masked)."""
+    emb, emb_r, cf, cb = fwd_state
+    dh_f, dh_b = dh_cat[:, :h], dh_cat[:, h:]
+    demb_f, dWf, dUf, dbf = _lstm_backward(
+        emb, lens, params["Wf"], params["Uf"], dh_f, cf, h
+    )
+    demb_r, dWb, dUb, dbb = _lstm_backward(
+        emb_r, lens, params["Wb"], params["Ub"], dh_b, cb, h
+    )
+    grads["Wf"] += dWf
+    grads["Uf"] += dUf
+    grads["bf"] += dbf
+    grads["Wb"] += dWb
+    grads["Ub"] += dUb
+    grads["bb"] += dbb
+    # un-reverse the backward direction's embedding gradient through
+    # the same index map the forward pass used
+    N, T, _ = emb.shape
+    idx = np.arange(T)[None, :]
+    valid = idx < lens[:, None]
+    rev = np.where(valid, lens[:, None] - 1 - idx, 0)
+    demb = demb_f
+    np.add.at(demb, (np.arange(N)[:, None], rev), np.where(valid[:, :, None], demb_r, 0.0))
+    flat_ids = ids.reshape(-1)
+    keep = flat_ids != PAD_ID
+    np.add.at(
+        grads["E"], flat_ids[keep], demb.reshape(-1, demb.shape[2])[keep]
+    )
+
+
+def dedup_sides(side_a, side_b, max_len: int):
+    """Pair side lists (variable-length id arrays) -> (unique padded
+    id matrix, lengths, ia, ib) for the *_indexed methods: every
+    document that recurs across pairs — every anchor (positive AND
+    negative pair), every pool negative drawn twice — is encoded
+    once."""
+    seen: dict[bytes, int] = {}
+    uniq: list[np.ndarray] = []
+
+    def idx_of(s: np.ndarray) -> int:
+        k = s.tobytes()
+        j = seen.get(k)
+        if j is None:
+            j = len(uniq)
+            seen[k] = j
+            uniq.append(s)
+        return j
+
+    ia = np.fromiter((idx_of(s) for s in side_a), dtype=np.int64, count=len(side_a))
+    ib = np.fromiter((idx_of(s) for s in side_b), dtype=np.int64, count=len(side_b))
+    ids, lens = pad_id_lists(uniq, max_len)
+    return ids, lens, ia, ib
+
+
+class S3MTrainable:
+    """The S3M cross-encoder with hand-derived full gradients.
+
+    Construction mirrors `S3MNumpy(seed=...)` exactly (same PCG64
+    draw order), so `params` starts bit-compatible with the deployed
+    inference weights."""
+
+    def __init__(
+        self,
+        vocab_size: int = 4096,
+        emb_dim: int = 32,
+        hidden: int = 32,
+        max_len: int = 48,
+        seed: int = 0x53334D,
+    ):
+        base = S3MNumpy(
+            vocab_size=vocab_size, emb_dim=emb_dim, hidden=hidden,
+            max_len=max_len, seed=seed,
+        )
+        self.vocab_size = vocab_size
+        self.hidden = hidden
+        self.max_len = max_len
+        self.seed = seed
+        self.params = params_from_model(base)
+
+    def prepare(self, texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
+        """Texts -> (padded id matrix, lengths), the model's input
+        contract (tokenize once, reuse across steps)."""
+        seqs = token_ids_batch(texts, self.vocab_size)
+        return pad_id_lists(seqs, self.max_len)
+
+    def loss_and_grads(
+        self,
+        ids_a: np.ndarray,
+        lens_a: np.ndarray,
+        ids_b: np.ndarray,
+        lens_b: np.ndarray,
+        y: np.ndarray,
+        params: dict[str, np.ndarray] | None = None,
+    ) -> tuple[float, dict[str, np.ndarray]]:
+        """SUM BCE-with-logits loss over pair rows ((ids_a, ids_b) ->
+        target y) and its exact gradient for every parameter."""
+        p = params if params is not None else self.params
+        h = self.hidden
+        y = np.asarray(y, dtype=np.float64)
+
+        h1, st1 = _encode_with_cache(ids_a, lens_a, p, h)
+        h2, st2 = _encode_with_cache(ids_b, lens_b, p, h)
+
+        # ---- head forward (pair_features + 2-layer ReLU MLP) ----
+        diff = h1 - h2
+        nrm = np.linalg.norm(diff, axis=1, keepdims=True)
+        feats = np.concatenate([(h1 + h2) / 2.0, h1 * h2, nrm], axis=1)
+        z1 = feats @ p["W1"] + p["b1"]
+        a1 = np.maximum(z1, 0.0)
+        logit = (a1 @ p["W2"] + p["b2"]).reshape(-1)
+        loss = float(
+            (np.maximum(logit, 0.0) - logit * y + np.log1p(np.exp(-np.abs(logit)))).sum()
+        )
+
+        # ---- head backward ----
+        grads = {k: np.zeros_like(v) for k, v in p.items()}
+        dlogit = (_sigmoid(logit) - y)[:, None]
+        grads["W2"] += a1.T @ dlogit
+        grads["b2"] += dlogit.sum(axis=0)
+        dz1 = (dlogit @ p["W2"].T) * (z1 > 0.0)
+        grads["W1"] += feats.T @ dz1
+        grads["b1"] += dz1.sum(axis=0)
+        dfeats = dz1 @ p["W1"].T
+
+        two_h = h1.shape[1]
+        df_avg = dfeats[:, :two_h]
+        df_prod = dfeats[:, two_h : 2 * two_h]
+        df_nrm = dfeats[:, 2 * two_h :]
+        # ||h1-h2|| subgradient: 0 at the (measure-zero) identical
+        # point — matches torch's norm backward convention
+        safe = np.where(nrm > 0.0, nrm, 1.0)
+        dn = df_nrm * diff / safe
+        dh1 = 0.5 * df_avg + df_prod * h2 + dn
+        dh2 = 0.5 * df_avg + df_prod * h1 - dn
+
+        _encoder_backward(ids_a, lens_a, p, h, st1, dh1, grads)
+        _encoder_backward(ids_b, lens_b, p, h, st2, dh2, grads)
+        grads["E"][PAD_ID] = 0.0
+        return loss, grads
+
+    def loss_and_grads_indexed(
+        self,
+        ids: np.ndarray,
+        lens: np.ndarray,
+        ia: np.ndarray,
+        ib: np.ndarray,
+        y: np.ndarray,
+        params: dict[str, np.ndarray] | None = None,
+    ) -> tuple[float, dict[str, np.ndarray]]:
+        """`loss_and_grads` over (unique-document matrix, pair index
+        arrays): each distinct document is encoded — and its BPTT
+        backward run — exactly ONCE per call no matter how many pairs
+        it appears in; pair-side hidden gradients scatter-add into the
+        per-document gradient before the single encoder backward.
+        Equal to the pairwise form (pinned in tests); this is the
+        training analog of the reference's eval-time hidden cache
+        (s3m.py:65-81) and the hot path both trainers call."""
+        p = params if params is not None else self.params
+        h = self.hidden
+        y = np.asarray(y, dtype=np.float64)
+
+        h_u, st = _encode_with_cache(ids, lens, p, h)
+        h1, h2 = h_u[ia], h_u[ib]
+
+        diff = h1 - h2
+        nrm = np.linalg.norm(diff, axis=1, keepdims=True)
+        feats = np.concatenate([(h1 + h2) / 2.0, h1 * h2, nrm], axis=1)
+        z1 = feats @ p["W1"] + p["b1"]
+        a1 = np.maximum(z1, 0.0)
+        logit = (a1 @ p["W2"] + p["b2"]).reshape(-1)
+        loss = float(
+            (np.maximum(logit, 0.0) - logit * y + np.log1p(np.exp(-np.abs(logit)))).sum()
+        )
+
+        grads = {k: np.zeros_like(v) for k, v in p.items()}
+        dlogit = (_sigmoid(logit) - y)[:, None]
+        grads["W2"] += a1.T @ dlogit
+        grads["b2"] += dlogit.sum(axis=0)
+        dz1 = (dlogit @ p["W2"].T) * (z1 > 0.0)
+        grads["W1"] += feats.T @ dz1
+        grads["b1"] += dz1.sum(axis=0)
+        dfeats = dz1 @ p["W1"].T
+
+        two_h = h1.shape[1]
+        df_avg = dfeats[:, :two_h]
+        df_prod = dfeats[:, two_h : 2 * two_h]
+        df_nrm = dfeats[:, 2 * two_h :]
+        safe = np.where(nrm > 0.0, nrm, 1.0)
+        dn = df_nrm * diff / safe
+        dh1 = 0.5 * df_avg + df_prod * h2 + dn
+        dh2 = 0.5 * df_avg + df_prod * h1 - dn
+
+        dh_u = np.zeros_like(h_u)
+        np.add.at(dh_u, ia, dh1)
+        np.add.at(dh_u, ib, dh2)
+        _encoder_backward(ids, lens, p, h, st, dh_u, grads)
+        grads["E"][PAD_ID] = 0.0
+        return loss, grads
+
+    def logits_indexed(
+        self,
+        ids: np.ndarray,
+        lens: np.ndarray,
+        ia: np.ndarray,
+        ib: np.ndarray,
+        params: dict[str, np.ndarray] | None = None,
+    ) -> np.ndarray:
+        p = params if params is not None else self.params
+        h_u, _ = _encode_with_cache(ids, lens, p, self.hidden)
+        h1, h2 = h_u[ia], h_u[ib]
+        nrm = np.linalg.norm(h1 - h2, axis=1, keepdims=True)
+        feats = np.concatenate([(h1 + h2) / 2.0, h1 * h2, nrm], axis=1)
+        a1 = np.maximum(feats @ p["W1"] + p["b1"], 0.0)
+        return (a1 @ p["W2"] + p["b2"]).reshape(-1)
+
+    def logits(
+        self,
+        ids_a: np.ndarray,
+        lens_a: np.ndarray,
+        ids_b: np.ndarray,
+        lens_b: np.ndarray,
+        params: dict[str, np.ndarray] | None = None,
+    ) -> np.ndarray:
+        p = params if params is not None else self.params
+        h = self.hidden
+        h1, _ = _encode_with_cache(ids_a, lens_a, p, h)
+        h2, _ = _encode_with_cache(ids_b, lens_b, p, h)
+        nrm = np.linalg.norm(h1 - h2, axis=1, keepdims=True)
+        feats = np.concatenate([(h1 + h2) / 2.0, h1 * h2, nrm], axis=1)
+        a1 = np.maximum(feats @ p["W1"] + p["b1"], 0.0)
+        return (a1 @ p["W2"] + p["b2"]).reshape(-1)

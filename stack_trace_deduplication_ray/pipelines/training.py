@@ -351,10 +351,9 @@ def distributed_loss_grads(feats_ds, params):
     return loss, tuple(grads)
 
 
-def _eval_split(x: np.ndarray, y: np.ndarray, params) -> dict:
+def _eval_from_logits(logit: np.ndarray, y: np.ndarray) -> dict:
     """AUC (rank-based Mann-Whitney), mean positive-negative logit
-    margin, and mean BCE loss of `params` on a feature split."""
-    logit = head_logits(x.astype(np.float64), params)
+    margin, and mean BCE loss from raw pair logits."""
     pos, neg = logit[y == 1.0], logit[y == 0.0]
     order = np.argsort(np.concatenate([pos, neg]), kind="stable")
     ranks = np.empty(len(order), dtype=np.float64)
@@ -363,12 +362,18 @@ def _eval_split(x: np.ndarray, y: np.ndarray, params) -> dict:
         (ranks[: len(pos)].sum() - len(pos) * (len(pos) + 1) / 2)
         / max(len(pos) * len(neg), 1)
     )
-    loss, _ = head_loss_and_grads(x, y, params)
+    bce = (
+        np.maximum(logit, 0.0) - logit * y + np.log1p(np.exp(-np.abs(logit)))
+    )
     return {
         "auc": float(auc),
         "margin": float(pos.mean() - neg.mean()) if len(pos) and len(neg) else 0.0,
-        "loss": loss / max(len(x), 1),
+        "loss": float(bce.mean()) if len(logit) else 0.0,
     }
+
+
+def _eval_split(x: np.ndarray, y: np.ndarray, params) -> dict:
+    return _eval_from_logits(head_logits(x.astype(np.float64), params), y)
 
 
 def train_s3m_head(
@@ -465,6 +470,251 @@ def train_s3m_head(
         "val_margin_trained": after["margin"],
     }
     return {"params": params, "metrics": metrics}
+
+
+class TripletTokenStage:
+    """Actor-pool tokenizer: triplet texts -> variable-length id lists
+    (truncated to the model's context window), computed ONCE so the
+    per-step gradient passes never re-tokenize."""
+
+    def __init__(self, seed: int = TRAIN_SEED):
+        from stack_trace_deduplication_ray.functions.neural_train import (
+            S3MTrainable,
+        )
+
+        self.model = S3MTrainable(seed=seed)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from stack_trace_deduplication_ray.functions.neural import (
+            token_ids_batch,
+        )
+
+        ids_t = pa.list_(pa.int64())
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "a_ids": pa.array([], type=ids_t),
+                    "p_ids": pa.array([], type=ids_t),
+                    "n_ids": pa.array([], type=ids_t),
+                    "is_val": pa.array([], type=pa.bool_()),
+                }
+            )
+        L = self.model.max_len
+
+        def tok(col):
+            seqs = token_ids_batch(
+                batch.column(col).to_pylist(), self.model.vocab_size
+            )
+            return pa.array([s[-L:].tolist() for s in seqs], type=ids_t)
+
+        return pa.table(
+            {
+                "a_ids": tok("anchor"),
+                "p_ids": tok("positive"),
+                "n_ids": tok("negative"),
+                "is_val": batch.column("is_val"),
+            }
+        )
+
+
+def _tok_batch_xy(batch: pa.Table):
+    """Tokenized triplet batch -> pair id lists + targets (positive
+    pair toward 1, negative pair toward 0)."""
+    a = [np.asarray(s, dtype=np.int64) for s in batch.column("a_ids").to_pylist()]
+    p = [np.asarray(s, dtype=np.int64) for s in batch.column("p_ids").to_pylist()]
+    n = [np.asarray(s, dtype=np.int64) for s in batch.column("n_ids").to_pylist()]
+    side_a = a + a
+    side_b = p + n
+    y = np.concatenate([np.ones(len(a)), np.zeros(len(a))])
+    return side_a, side_b, y
+
+
+def distributed_full_grads(tok_ds, trainable, params):
+    """Synchronous data-parallel FULL-model gradient pass: the whole
+    parameter set (~150k floats ≈ 1.2 MB) broadcast once per step via
+    ray.put, per-batch float64 loss/grad SUMS flattened into one row
+    each, deterministic sorted-key driver sum. Returns (mean loss,
+    mean grads dict)."""
+    from stack_trace_deduplication_ray.functions.neural_train import (
+        dedup_sides,
+        flatten_params,
+        unflatten_params,
+    )
+
+    params_ref = ray.put({k: np.asarray(v) for k, v in params.items()})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.uint64()),
+                    "loss": pa.array([], type=pa.float64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "grad": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        prm = ray.get(params_ref)
+        sa, sb, y = _tok_batch_xy(batch)
+        ids, lens, ia, ib = dedup_sides(sa, sb, trainable.max_len)
+        loss, grads = trainable.loss_and_grads_indexed(
+            ids, lens, ia, ib, y, params=prm
+        )
+        flat = flatten_params(grads)
+        key = H.hash_bytes_arrays([flat.tobytes()])[:1]
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "loss": pa.array([loss]),
+                "n": pa.array([len(y)], type=pa.int64()),
+                "grad": pa.array([flat.tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    parts = tok_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1024
+    ).to_pandas()
+    parts = parts.sort_values("key", kind="stable")
+    n = int(parts["n"].sum())
+    loss = float(parts["loss"].sum()) / max(n, 1)
+    flat = np.zeros(flatten_params(params).size, dtype=np.float64)
+    for g in parts["grad"]:
+        flat += np.asarray(g, dtype=np.float64)
+    flat /= max(n, 1)
+    return loss, unflatten_params(flat, params)
+
+
+def train_s3m_full(
+    sf_dir: str,
+    steps: int = 30,
+    lr: float = 0.01,
+    seed: int = TRAIN_SEED,
+    driver_gate: int = 50_000,
+    force_distributed: bool = False,
+    cfg: DedupConfig | None = None,
+):
+    """FULL-model fine-tune (functions/neural_train.py): every
+    parameter — embeddings, both LSTM directions, head — trained with
+    hand-derived BPTT gradients under the reference's BCE-with-logits
+    triplet objective. Same two-path layout as `train_s3m_head`:
+    tokenize-once actor stage, then full-batch Adam with driver-side
+    gradients under the gate or one map_batches grad pass per step
+    above it. Returns {"params": dict, "metrics": dict}."""
+    from stack_trace_deduplication_ray.functions.neural_train import (
+        S3MTrainable,
+        dedup_sides,
+        flatten_params,
+        unflatten_params,
+    )
+
+    cfg = cfg or DEFAULT_CONFIG
+    trip = triplet_dataset(sf_dir, cfg, seed=seed)
+    toks = trip.map_batches(
+        TripletTokenStage,
+        fn_constructor_kwargs={"seed": seed},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).materialize()
+
+    def split(want_val: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = batch.column("is_val")
+            return batch.filter(m if want_val else pc.invert(m))
+
+        return toks.map_batches(f, batch_format="pyarrow")
+
+    train_ds = split(False)
+    val_ds = split(True)
+    n_train = train_ds.count()
+
+    trainable = S3MTrainable(seed=seed)
+    params = trainable.params
+    init_flat = flatten_params(params).copy()
+
+    losses: list[float] = []
+    opt = AdamState([params[k] for k in sorted(params)], lr=lr)
+
+    def opt_step(params, grads):
+        ks = sorted(params)
+        new = opt.step([params[k] for k in ks], [grads[k] for k in ks])
+        return dict(zip(ks, new))
+
+    use_driver = (n_train <= driver_gate) and not force_distributed
+    if use_driver:
+        sa, sb, ys = [], [], []
+        for b in train_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+            a, bb, y = _tok_batch_xy(b)
+            sa += a
+            sb += bb
+            ys.append(y)
+        Y = np.concatenate(ys) if ys else np.empty(0)
+        ids, lens, ia, ib = dedup_sides(sa, sb, trainable.max_len)
+        for _ in range(steps):
+            loss, grads = trainable.loss_and_grads_indexed(
+                ids, lens, ia, ib, Y, params=params
+            )
+            loss /= max(len(Y), 1)
+            grads = {k: g / max(len(Y), 1) for k, g in grads.items()}
+            losses.append(loss)
+            params = opt_step(params, grads)
+    else:
+        train_ds = train_ds.materialize()
+        for _ in range(steps):
+            loss, grads = distributed_full_grads(train_ds, trainable, params)
+            losses.append(loss)
+            params = opt_step(params, grads)
+
+    # held-out eval with initial vs trained params
+    va, vb, vys = [], [], []
+    for b in val_ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        a, bb, y = _tok_batch_xy(b)
+        va += a
+        vb += bb
+        vys.append(y)
+    VY = np.concatenate(vys) if vys else np.empty(0)
+    if len(VY):
+        ids, lens, ia, ib = dedup_sides(va, vb, trainable.max_len)
+        before = _eval_from_logits(
+            trainable.logits_indexed(
+                ids, lens, ia, ib,
+                params=unflatten_params(init_flat, params),
+            ),
+            VY,
+        )
+        after = _eval_from_logits(
+            trainable.logits_indexed(ids, lens, ia, ib, params=params), VY
+        )
+    else:
+        before = after = {"auc": 0.0, "margin": 0.0, "loss": 0.0}
+
+    metrics = {
+        "n_train_pairs": float(n_train * 2),
+        "n_val_pairs": float(len(VY)),
+        "steps": float(steps),
+        "distributed": float(not use_driver),
+        "n_params": float(init_flat.size),
+        "loss_initial": losses[0] if losses else 0.0,
+        "loss_final": losses[-1] if losses else 0.0,
+        "val_loss_untrained": before["loss"],
+        "val_loss_trained": after["loss"],
+        "val_auc_untrained": before["auc"],
+        "val_auc_trained": after["auc"],
+        "val_margin_untrained": before["margin"],
+        "val_margin_trained": after["margin"],
+    }
+    return {"params": params, "metrics": metrics}
+
+
+def train_s3m_full_metrics(sf_dir: str):
+    """queries() entry (rows-only): full-model BPTT fine-tune on the
+    labeled fixture, held-out separation before/after."""
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
+
+    res = train_s3m_full(sf_dir)
+    return metrics_table(res["metrics"])
 
 
 def train_cross_encoder_metrics(sf_dir: str):
