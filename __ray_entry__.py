@@ -82,6 +82,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # full-model BPTT fine-tune (hand-derived gradients for every
         # parameter, FD-verified) — rows-only for the same reason
         "train_s3m_full_metrics": training.train_s3m_full_metrics,
+        # learned scoring end-to-end: trained weights installed into
+        # the serving actor pool, held-out Acc@1/MRR before vs after
+        "trained_retrieval_metrics": training.trained_retrieval_metrics,
         # --- T13 embedding client (local deterministic backend) ------
         "embed_client_vectors": analysis.embed_client_vectors,
         "embed_client_cost": analysis.embed_client_cost,

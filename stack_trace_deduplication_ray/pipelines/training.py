@@ -727,3 +727,154 @@ def train_cross_encoder_metrics(sf_dir: str):
 
     res = train_s3m_head(sf_dir)
     return metrics_table(res["metrics"])
+
+
+class TrainedScorerStage:
+    """Actor-pool pair scorer carrying TRAINED weights: the seeded
+    model rebuilds in __init__ and the trained params (shipped once
+    per actor through the object store, ~1.2 MB) overwrite it. The
+    serving shape of the reference's learned cross-encoder
+    (cross_encoders/base.py:22-42 pair batches)."""
+
+    def __init__(self, params_ref=None, seed: int = TRAIN_SEED):
+        self.model = S3MNumpy(seed=seed)
+        if params_ref is not None:
+            from stack_trace_deduplication_ray.functions.neural_train import (
+                install_params,
+            )
+
+            install_params(self.model, ray.get(params_ref))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(
+                "score", pa.array([], type=pa.float64())
+            )
+        s = self.model.score_pairs(
+            batch.column("anchor").to_pylist(),
+            batch.column("candidate").to_pylist(),
+        )
+        return batch.append_column("score", pa.array(s.astype(np.float64)))
+
+
+def _retrieval_eval_pairs(
+    sf_dir: str,
+    cfg: DedupConfig,
+    n_distractors: int = 9,
+    seed: int = TRAIN_SEED,
+):
+    """Candidate-list eval set from the VAL triplets: per anchor, its
+    true duplicate plus `n_distractors` deterministic pool negatives.
+    One flat (anchor_key, anchor, candidate, is_dup) dataset — the
+    reference's retrieval-quality harness shape (ranked candidate
+    lists per query)."""
+    labeled, corpus_rows = _fixture_labeled_captions(sf_dir)
+    pool_hash, pool_caps = _negative_pool(
+        labeled, corpus_rows, 1 << 16, seed ^ 0x5EED
+    )
+    pool_ref = ray.put((pool_hash, pool_caps))
+    n_pool = len(pool_hash)
+    trip = triplet_dataset(sf_dir, cfg, seed=seed)
+
+    def expand(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch.column("is_val"))
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "anchor_key": pa.array([], type=pa.string()),
+                    "anchor": pa.array([], type=pa.string()),
+                    "candidate": pa.array([], type=pa.string()),
+                    "is_dup": pa.array([], type=pa.bool_()),
+                }
+            )
+        ph, pc_caps = ray.get(pool_ref)
+        aid = batch.column("anchor_id").to_pylist()
+        anc = batch.column("anchor").to_pylist()
+        pos = batch.column("positive").to_pylist()
+        keys, anchors, cands, isdup = [], [], [], []
+        base = H.hash_bytes_arrays(
+            [str(x).encode() for x in aid], seed=seed ^ 0xE7A1
+        )
+        for i, (k, a, p) in enumerate(zip(aid, anc, pos)):
+            keys.append(k)
+            anchors.append(a)
+            cands.append(p)
+            isdup.append(True)
+            idx = int(base[i] % np.uint64(n_pool))
+            taken = 0
+            while taken < n_distractors:
+                c = pc_caps[idx]
+                idx = (idx + 1) % n_pool
+                if c == a or c == p:
+                    continue
+                keys.append(k)
+                anchors.append(a)
+                cands.append(c)
+                isdup.append(False)
+                taken += 1
+        return pa.table(
+            {
+                "anchor_key": pa.array([str(x) for x in keys]),
+                "anchor": pa.array(anchors),
+                "candidate": pa.array(cands),
+                "is_dup": pa.array(isdup),
+            }
+        )
+
+    return trip.map_batches(expand, batch_format="pyarrow")
+
+
+def _rank_metrics(scored_df: pd.DataFrame) -> dict:
+    """Acc@1 / MRR of the true duplicate within each anchor's ranked
+    candidate list (score desc, candidate asc tie-break)."""
+    df = scored_df.sort_values(
+        ["anchor_key", "score", "candidate"],
+        ascending=[True, False, True],
+        kind="stable",
+    )
+    df["rank"] = df.groupby("anchor_key", sort=False).cumcount() + 1
+    hits = df[df["is_dup"]]
+    return {
+        "acc1": float((hits["rank"] == 1).mean()),
+        "mrr": float((1.0 / hits["rank"]).mean()),
+        "n_queries": float(len(hits)),
+    }
+
+
+def trained_retrieval_metrics(sf_dir: str, steps: int = 30, lr: float = 0.01):
+    """queries() entry (rows-only): LEARNED cross-encoder scoring end
+    to end — fine-tune the full model on the train split, install the
+    trained weights into the serving scorer, rank held-out candidate
+    lists (true duplicate + 9 pool distractors per anchor) with the
+    untrained and the trained model, and report Acc@1/MRR for both.
+    The proxy: acc1_trained >> acc1_untrained on queries the training
+    loop never saw."""
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
+
+    cfg = DEFAULT_CONFIG
+    res = train_s3m_full(sf_dir, steps=steps, lr=lr)
+    pairs = _retrieval_eval_pairs(sf_dir, cfg).materialize()
+    trained_ref = ray.put(res["params"])
+
+    def score_with(params_ref):
+        return pairs.map_batches(
+            TrainedScorerStage,
+            fn_constructor_kwargs={"params_ref": params_ref},
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=(1, 4),
+            num_cpus=1,
+        ).to_pandas()
+
+    un = _rank_metrics(score_with(None))
+    tr = _rank_metrics(score_with(trained_ref))
+    return metrics_table(
+        {
+            "n_queries": un["n_queries"],
+            "acc1_untrained": un["acc1"],
+            "acc1_trained": tr["acc1"],
+            "mrr_untrained": un["mrr"],
+            "mrr_trained": tr["mrr"],
+            "train_val_auc": res["metrics"]["val_auc_trained"],
+        }
+    )

@@ -170,6 +170,24 @@ def test_full_finetune_beats_frozen_head(ray_session):
     assert full["val_auc_trained"] > full["val_auc_untrained"] + 0.3
 
 
+def test_trained_retrieval_beats_untrained(ray_session):
+    """Learned scoring end-to-end: the trained model ranks the true
+    duplicate first for most held-out anchors; the untrained seeded
+    model does not."""
+    from stack_trace_deduplication_ray.pipelines.training import (
+        trained_retrieval_metrics,
+    )
+
+    m = {
+        r["metric"]: r["value"]
+        for r in trained_retrieval_metrics(SF).to_pylist()
+    }
+    assert m["n_queries"] >= 20
+    assert m["acc1_trained"] >= 0.7
+    assert m["acc1_trained"] > m["acc1_untrained"] + 0.5
+    assert m["mrr_trained"] > m["mrr_untrained"] + 0.4
+
+
 def test_full_training_deterministic(ray_session):
     from stack_trace_deduplication_ray.pipelines.training import (
         train_s3m_full,
