@@ -63,6 +63,7 @@ def headline_queries():
         rerank,
         similarity,
         text,
+        training,
     )
 
     return {
@@ -84,6 +85,9 @@ def headline_queries():
         "s3m_pair_scores": neural.s3m_pair_scores,
         "cross_encoder_rerank": neural.cross_encoder_rerank,
         "embed_client_vectors": analysis.embed_client_vectors,
+        # round-5 addition: head training (distributed feature pass +
+        # full-batch Adam) — totals before it exclude this entry
+        "train_cross_encoder": training.train_cross_encoder_metrics,
         "retrieval_rank_metrics": evaluation.retrieval_rank_metrics,
     }
 

@@ -588,7 +588,11 @@ def train_s3m_full(
     steps: int = 30,
     lr: float = 0.01,
     seed: int = TRAIN_SEED,
-    driver_gate: int = 50_000,
+    # crossover measured at sf0.1/32 CPUs: the per-step map_batches
+    # grad pass beats the sequential driver loop from ~3k triplets up
+    # (45.7 s vs 78.6 s at ~5k); below it the per-execution overhead
+    # dominates
+    driver_gate: int = 3_000,
     force_distributed: bool = False,
     cfg: DedupConfig | None = None,
 ):
