@@ -85,6 +85,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # learned scoring end-to-end: trained weights installed into
         # the serving actor pool, held-out Acc@1/MRR before vs after
         "trained_retrieval_metrics": training.trained_retrieval_metrics,
+        # P5 reranker training (token-level cross-encoder, the
+        # reference's cross_enc branch) — rows-only
+        "train_rerank_encoder_metrics": (
+            training.train_rerank_encoder_metrics
+        ),
         # --- T13 embedding client (local deterministic backend) ------
         "embed_client_vectors": analysis.embed_client_vectors,
         "embed_client_cost": analysis.embed_client_cost,

@@ -92,13 +92,15 @@ def unflatten_params(flat: np.ndarray, like: dict[str, np.ndarray]):
     return out
 
 
-def _lstm_forward_cached(ids_emb, lens, W, U, b, h):
+def _lstm_forward_cached(ids_emb, lens, W, U, b, h, want_outs: bool = False):
     """One LSTM direction with caches for BPTT. Returns (h_final,
-    cache). `ids_emb` is the (N,T,d) embedded input for THIS
+    outs (N,T,h) zeroed past each length — None unless `want_outs` —
+    and cache). `ids_emb` is the (N,T,d) embedded input for THIS
     direction (already reversed for the backward direction)."""
     N, T, _ = ids_emb.shape
     hs = np.zeros((N, h))
     cs = np.zeros((N, h))
+    outs = np.zeros((N, T, h)) if want_outs else None
     cache = []
     for t in range(T):
         active = (t < lens)[:, None].astype(np.float64)
@@ -113,12 +115,16 @@ def _lstm_forward_cached(ids_emb, lens, W, U, b, h):
         cache.append((hs, cs, i, f, g, o, tc, active))
         hs = active * h_new + (1 - active) * hs
         cs = active * c_new + (1 - active) * cs
-    return hs, cache
+        if want_outs:
+            outs[:, t, :] = active * h_new
+    return hs, outs, cache
 
 
-def _lstm_backward(ids_emb, lens, W, U, dh_final, cache, h):
-    """BPTT for one direction seeded from the final-hidden gradient.
-    Returns (d_emb (N,T,d), dW, dU, db)."""
+def _lstm_backward(ids_emb, lens, W, U, dh_final, cache, h, d_outs=None):
+    """BPTT for one direction seeded from the final-hidden gradient
+    and, optionally, per-timestep output gradients `d_outs` (N,T,h)
+    (the pooled aggregations of the P5 text encoder). Returns
+    (d_emb (N,T,d), dW, dU, db)."""
     N, T, d = ids_emb.shape
     dW = np.zeros_like(W)
     dU = np.zeros_like(U)
@@ -129,6 +135,10 @@ def _lstm_backward(ids_emb, lens, W, U, dh_final, cache, h):
     for t in range(T - 1, -1, -1):
         h_prev, c_prev, i, f, g, o, tc, active = cache[t]
         dh_new = dh * active
+        if d_outs is not None:
+            # outs[:, t] = active * h_new — output grads enter h_new
+            # directly at their own step, masked
+            dh_new = dh_new + d_outs[:, t, :] * active
         dh_skip = dh * (1 - active)
         dc_new = dc * active
         dc_skip = dc * (1 - active)
@@ -171,8 +181,8 @@ def _encode_with_cache(ids, lens, params, h):
     emb = params["E"][ids]
     emb[ids == PAD_ID] = 0.0
     emb_r = _reverse_padded(emb, lens)
-    hf, cf = _lstm_forward_cached(emb, lens, params["Wf"], params["Uf"], params["bf"], h)
-    hb, cb = _lstm_forward_cached(emb_r, lens, params["Wb"], params["Ub"], params["bb"], h)
+    hf, _, cf = _lstm_forward_cached(emb, lens, params["Wf"], params["Uf"], params["bf"], h)
+    hb, _, cb = _lstm_forward_cached(emb_r, lens, params["Wb"], params["Ub"], params["bb"], h)
     return np.concatenate([hf, hb], axis=1), (emb, emb_r, cf, cb)
 
 
@@ -206,6 +216,224 @@ def _encoder_backward(ids, lens, params, h, fwd_state, dh_cat, grads):
     np.add.at(
         grads["E"], flat_ids[keep], demb.reshape(-1, demb.shape[2])[keep]
     )
+
+
+# ---------------------------------------------------------------------------
+# P5: the token-level LSTM cross-encoder (rnn.py:34-103), trainable.
+# ---------------------------------------------------------------------------
+
+P5_PARAM_NAMES = (
+    "E", "siv",
+    "Wf", "Uf", "bf",
+    "Wb", "Ub", "bb",
+    "Wmix", "bmix", "W1", "b1", "W2", "b2",
+)
+
+
+def p5_params_from_model(model) -> dict[str, np.ndarray]:
+    """float64 training copies of an LSTMCrossEncoderNumpy's params."""
+    p = {
+        "E": model.E, "siv": model.same_item_vec,
+        "Wf": model.lstm.fwd[0], "Uf": model.lstm.fwd[1], "bf": model.lstm.fwd[2],
+        "Wb": model.lstm.bwd[0], "Ub": model.lstm.bwd[1], "bb": model.lstm.bwd[2],
+        "Wmix": model.Wmix, "bmix": model.bmix,
+        "W1": model.W1, "b1": model.b1, "W2": model.W2, "b2": model.b2,
+    }
+    return {k: np.asarray(v, dtype=np.float64).copy() for k, v in p.items()}
+
+
+def p5_install_params(model, params: dict[str, np.ndarray]) -> None:
+    f32 = lambda k: np.asarray(params[k], dtype=np.float32)  # noqa: E731
+    model.E = f32("E")
+    model.E[PAD_ID] = 0.0
+    model.same_item_vec = f32("siv")
+    model.lstm.fwd = (f32("Wf"), f32("Uf"), f32("bf"))
+    model.lstm.bwd = (f32("Wb"), f32("Ub"), f32("bb"))
+    model.Wmix, model.bmix = f32("Wmix"), f32("bmix")
+    model.W1, model.b1 = f32("W1"), f32("b1")
+    model.W2, model.b2 = f32("W2"), f32("b2")
+
+
+def p5_flatten(params: dict[str, np.ndarray]) -> np.ndarray:
+    return np.concatenate([params[k].reshape(-1) for k in P5_PARAM_NAMES])
+
+
+def p5_unflatten(flat: np.ndarray, like: dict[str, np.ndarray]):
+    out, off = {}, 0
+    for k in P5_PARAM_NAMES:
+        sz = like[k].size
+        out[k] = flat[off : off + sz].reshape(like[k].shape)
+        off += sz
+    return out
+
+
+class LSTMCrossEncoderTrainable:
+    """The reference's reranker model (LSTMCrossEncoder, rnn.py) with
+    hand-derived full gradients — the `cross_enc` branch of
+    train_model.py:105-165. Adds to the S3M derivation: per-timestep
+    output gradients through the ConcatAgg pooling (max routes to the
+    first argmax like torch; avg spreads 1/len over valid steps), and
+    the learned `same_item` cross-feature vector whose gradient is
+    the flag-masked sum of embedding gradients. Same seeded init as
+    the inference model."""
+
+    def __init__(
+        self,
+        vocab_size: int = 4096,
+        d_input: int = 32,
+        hidden: int = 32,
+        out_size: int = 32,
+        n_ctx: int = 48,
+        seed: int = 0xCE11,
+    ):
+        from stack_trace_deduplication_ray.functions.neural import (
+            LSTMCrossEncoderNumpy,
+        )
+
+        base = LSTMCrossEncoderNumpy(
+            vocab_size=vocab_size, d_input=d_input, hidden=hidden,
+            out_size=out_size, n_ctx=n_ctx, seed=seed,
+        )
+        self.vocab_size = vocab_size
+        self.hidden = hidden
+        self.out_size = out_size
+        self.n_ctx = n_ctx
+        self.seed = seed
+        self.params = p5_params_from_model(base)
+
+    # ---- one side through the text encoder, with caches ----
+    def _encode_side_cached(self, ids, lens, flags, p):
+        h = self.hidden
+        emb = p["E"][ids] + flags[:, :, None] * p["siv"]
+        emb[ids == PAD_ID] = 0.0
+        emb_r = _reverse_padded(emb, lens)
+        hf, of, cf = _lstm_forward_cached(
+            emb, lens, p["Wf"], p["Uf"], p["bf"], h, want_outs=True
+        )
+        hb, ob, cb = _lstm_forward_cached(
+            emb_r, lens, p["Wb"], p["Ub"], p["bb"], h, want_outs=True
+        )
+        outs = np.concatenate([of, ob], axis=2)
+        h_final = np.concatenate([hf, hb], axis=1)
+        T = ids.shape[1]
+        valid = (np.arange(T)[None, :] < lens[:, None])[:, :, None]
+        masked = np.where(valid, outs, -np.inf)
+        am = masked.argmax(axis=1)  # (N, 2h) first-argmax like torch
+        mx = np.take_along_axis(outs, am[:, None, :], axis=1)[:, 0, :]
+        avg = outs.sum(axis=1) / lens[:, None]
+        agg = np.concatenate([h_final, mx, avg], axis=1)
+        e = agg @ p["Wmix"] + p["bmix"]
+        state = (emb, emb_r, cf, cb, am, agg, valid)
+        return e, state
+
+    def _side_backward(self, ids, lens, flags, p, state, de, grads):
+        h = self.hidden
+        emb, emb_r, cf, cb, am, agg, valid = state
+        grads["Wmix"] += agg.T @ de
+        grads["bmix"] += de.sum(axis=0)
+        dagg = de @ p["Wmix"].T
+        dh_final = dagg[:, : 2 * h]
+        dmx = dagg[:, 2 * h : 4 * h]
+        davg = dagg[:, 4 * h :]
+
+        N, T, _ = emb.shape
+        d_outs = np.where(valid, (davg / lens[:, None])[:, None, :], 0.0)
+        np.add.at(
+            d_outs,
+            (np.arange(N)[:, None], am, np.arange(2 * h)[None, :]),
+            dmx,
+        )
+
+        demb_f, dWf, dUf, dbf = _lstm_backward(
+            emb, lens, p["Wf"], p["Uf"], dh_final[:, :h], cf, h,
+            d_outs=d_outs[:, :, :h],
+        )
+        demb_r, dWb, dUb, dbb = _lstm_backward(
+            emb_r, lens, p["Wb"], p["Ub"], dh_final[:, h:], cb, h,
+            d_outs=d_outs[:, :, h:],
+        )
+        grads["Wf"] += dWf
+        grads["Uf"] += dUf
+        grads["bf"] += dbf
+        grads["Wb"] += dWb
+        grads["Ub"] += dUb
+        grads["bb"] += dbb
+
+        idx = np.arange(T)[None, :]
+        v2 = idx < lens[:, None]
+        rev = np.where(v2, lens[:, None] - 1 - idx, 0)
+        demb = demb_f
+        np.add.at(
+            demb, (np.arange(N)[:, None], rev),
+            np.where(v2[:, :, None], demb_r, 0.0),
+        )
+        # emb = E[ids] + flags*siv, then PAD rows zeroed: PAD
+        # positions got no gradient (masked in BPTT), so the scatter
+        # below is exact
+        grads["siv"] += (demb * flags[:, :, None]).sum(axis=(0, 1))
+        flat_ids = ids.reshape(-1)
+        keep = flat_ids != PAD_ID
+        np.add.at(
+            grads["E"], flat_ids[keep], demb.reshape(-1, demb.shape[2])[keep]
+        )
+
+    def loss_and_grads(
+        self, ids_a, lens_a, flags_a, ids_b, lens_b, flags_b, y,
+        params: dict[str, np.ndarray] | None = None,
+    ) -> tuple[float, dict[str, np.ndarray]]:
+        p = params if params is not None else self.params
+        y = np.asarray(y, dtype=np.float64)
+        e1, st1 = self._encode_side_cached(ids_a, lens_a, flags_a, p)
+        e2, st2 = self._encode_side_cached(ids_b, lens_b, flags_b, p)
+
+        cat = np.concatenate([e1, e2], axis=1)
+        z1 = cat @ p["W1"] + p["b1"]
+        a1 = np.maximum(z1, 0.0)
+        logit = (a1 @ p["W2"] + p["b2"]).reshape(-1)
+        loss = float(
+            (np.maximum(logit, 0.0) - logit * y + np.log1p(np.exp(-np.abs(logit)))).sum()
+        )
+
+        grads = {k: np.zeros_like(v) for k, v in p.items()}
+        dlogit = (_sigmoid(logit) - y)[:, None]
+        grads["W2"] += a1.T @ dlogit
+        grads["b2"] += dlogit.sum(axis=0)
+        dz1 = (dlogit @ p["W2"].T) * (z1 > 0.0)
+        grads["W1"] += cat.T @ dz1
+        grads["b1"] += dz1.sum(axis=0)
+        dcat = dz1 @ p["W1"].T
+        de1, de2 = dcat[:, : self.out_size], dcat[:, self.out_size :]
+
+        self._side_backward(ids_a, lens_a, flags_a, p, st1, de1, grads)
+        self._side_backward(ids_b, lens_b, flags_b, p, st2, de2, grads)
+        grads["E"][PAD_ID] = 0.0
+        return loss, grads
+
+    def logits(
+        self, ids_a, lens_a, flags_a, ids_b, lens_b, flags_b,
+        params: dict[str, np.ndarray] | None = None,
+    ) -> np.ndarray:
+        p = params if params is not None else self.params
+        e1, _ = self._encode_side_cached(ids_a, lens_a, flags_a, p)
+        e2, _ = self._encode_side_cached(ids_b, lens_b, flags_b, p)
+        cat = np.concatenate([e1, e2], axis=1)
+        a1 = np.maximum(cat @ p["W1"] + p["b1"], 0.0)
+        return (a1 @ p["W2"] + p["b2"]).reshape(-1)
+
+    def prepare_pairs(self, texts_a: list[str], texts_b: list[str]):
+        """Texts -> (ids, lens, flags) per side, with the reference's
+        cross-feature semantics: a token is flagged when it occurs in
+        the other side's FULL (untruncated) token sequence."""
+        seq_a = token_ids_batch(texts_a, self.vocab_size)
+        seq_b = token_ids_batch(texts_b, self.vocab_size)
+        ids_a, lens_a = pad_id_lists(seq_a, self.n_ctx)
+        ids_b, lens_b = pad_id_lists(seq_b, self.n_ctx)
+        flags_a = np.zeros(ids_a.shape)
+        flags_b = np.zeros(ids_b.shape)
+        for i in range(len(seq_a)):
+            flags_a[i, : lens_a[i]] = np.isin(ids_a[i, : lens_a[i]], seq_b[i])
+            flags_b[i, : lens_b[i]] = np.isin(ids_b[i, : lens_b[i]], seq_a[i])
+        return (ids_a, lens_a, flags_a), (ids_b, lens_b, flags_b)
 
 
 def dedup_sides(side_a, side_b, max_len: int):

@@ -733,6 +733,292 @@ def train_cross_encoder_metrics(sf_dir: str):
     return metrics_table(res["metrics"])
 
 
+class P5PairPrepStage:
+    """Actor-pool pair prep for the P5 reranker: triplet texts ->
+    2 pair rows each ((anchor,pos)->1, (anchor,neg)->0) with token
+    ids truncated to the context window and the pair-dependent
+    `has_same_item` cross-feature flags (vs the untruncated other
+    side, rnn.py:80-90) — computed ONCE so per-step gradient passes
+    never re-tokenize."""
+
+    CROSS_SEED = 0xCE11
+
+    def __init__(self, seed: int = TRAIN_SEED):
+        from stack_trace_deduplication_ray.functions.neural_train import (
+            LSTMCrossEncoderTrainable,
+        )
+
+        self.model = LSTMCrossEncoderTrainable(seed=self.CROSS_SEED)
+        del seed  # triplet seed rides in the upstream dataset
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ids_t = pa.list_(pa.int64())
+        fl_t = pa.list_(pa.int8())
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "a_ids": pa.array([], type=ids_t),
+                    "b_ids": pa.array([], type=ids_t),
+                    "a_flags": pa.array([], type=fl_t),
+                    "b_flags": pa.array([], type=fl_t),
+                    "y": pa.array([], type=pa.float64()),
+                    "is_val": pa.array([], type=pa.bool_()),
+                }
+            )
+        anc = batch.column("anchor").to_pylist()
+        texts_a = anc + anc
+        texts_b = (
+            batch.column("positive").to_pylist()
+            + batch.column("negative").to_pylist()
+        )
+        (ids_a, lens_a, fa), (ids_b, lens_b, fb) = self.model.prepare_pairs(
+            texts_a, texts_b
+        )
+        n = len(anc)
+
+        def rows(ids, lens, fl):
+            return (
+                pa.array(
+                    [ids[i, : lens[i]].tolist() for i in range(len(lens))],
+                    type=ids_t,
+                ),
+                pa.array(
+                    [
+                        fl[i, : lens[i]].astype(np.int8).tolist()
+                        for i in range(len(lens))
+                    ],
+                    type=fl_t,
+                ),
+            )
+
+        a_ids, a_fl = rows(ids_a, lens_a, fa)
+        b_ids, b_fl = rows(ids_b, lens_b, fb)
+        isv = batch.column("is_val").to_pylist()
+        return pa.table(
+            {
+                "a_ids": a_ids,
+                "b_ids": b_ids,
+                "a_flags": a_fl,
+                "b_flags": b_fl,
+                "y": pa.array(
+                    np.concatenate([np.ones(n), np.zeros(n)])
+                ),
+                "is_val": pa.array(isv + isv),
+            }
+        )
+
+
+def _p5_batch_tensors(batch: pa.Table, n_ctx: int):
+    """Prepared-pair batch -> padded (ids, lens, flags) per side + y.
+    Pads to the batch's own max length (<= n_ctx by construction)."""
+    from stack_trace_deduplication_ray.functions.neural import pad_id_lists
+
+    def side(id_col, fl_col):
+        seqs = [
+            np.asarray(s, dtype=np.int64)
+            for s in batch.column(id_col).to_pylist()
+        ]
+        ids, lens = pad_id_lists(seqs, n_ctx)
+        flags = np.zeros(ids.shape)
+        for i, f in enumerate(batch.column(fl_col).to_pylist()):
+            flags[i, : len(f)] = f
+        return ids, lens, flags
+
+    a = side("a_ids", "a_flags")
+    b = side("b_ids", "b_flags")
+    y = np.asarray(batch.column("y").to_pylist(), dtype=np.float64)
+    return a, b, y
+
+
+def distributed_p5_grads(pair_ds, trainable, params):
+    """Per-step data-parallel gradient pass for the P5 reranker —
+    same contract as distributed_full_grads (float64 SUM partials,
+    sorted-key driver sum, params via ray.put)."""
+    from stack_trace_deduplication_ray.functions.neural_train import (
+        p5_flatten,
+        p5_unflatten,
+    )
+
+    params_ref = ray.put({k: np.asarray(v) for k, v in params.items()})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.uint64()),
+                    "loss": pa.array([], type=pa.float64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "grad": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        prm = ray.get(params_ref)
+        (ia, la, fa), (ib, lb, fb), y = _p5_batch_tensors(
+            batch, trainable.n_ctx
+        )
+        loss, grads = trainable.loss_and_grads(
+            ia, la, fa, ib, lb, fb, y, params=prm
+        )
+        flat = p5_flatten(grads)
+        key = H.hash_bytes_arrays([flat.tobytes()])[:1]
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "loss": pa.array([loss]),
+                "n": pa.array([len(y)], type=pa.int64()),
+                "grad": pa.array([flat.tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    parts = pair_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1024
+    ).to_pandas()
+    parts = parts.sort_values("key", kind="stable")
+    n = int(parts["n"].sum())
+    loss = float(parts["loss"].sum()) / max(n, 1)
+    flat = np.zeros(p5_flatten(params).size, dtype=np.float64)
+    for g in parts["grad"]:
+        flat += np.asarray(g, dtype=np.float64)
+    flat /= max(n, 1)
+    return loss, p5_unflatten(flat, params)
+
+
+def train_rerank_encoder(
+    sf_dir: str,
+    steps: int = 30,
+    lr: float = 0.01,
+    seed: int = TRAIN_SEED,
+    driver_gate: int = 3_000,
+    force_distributed: bool = False,
+    cfg: DedupConfig | None = None,
+):
+    """Train the P5 token-level LSTM cross-encoder — the reference's
+    reranker training run (the `cross_enc` branch of
+    train_model.py:105-165) — with hand-derived full gradients
+    (functions/neural_train.LSTMCrossEncoderTrainable). Pair prep
+    (tokenize + cross-feature flags) runs once as an actor stage;
+    optimization follows the same driver/distributed two-path layout
+    as the other trainers. Returns {"params", "metrics"}."""
+    from stack_trace_deduplication_ray.functions.neural_train import (
+        LSTMCrossEncoderTrainable,
+        p5_flatten,
+        p5_unflatten,
+    )
+
+    cfg = cfg or DEFAULT_CONFIG
+    trip = triplet_dataset(sf_dir, cfg, seed=seed)
+    pairs = trip.map_batches(
+        P5PairPrepStage,
+        fn_constructor_kwargs={"seed": seed},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).materialize()
+
+    def split(want_val: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = batch.column("is_val")
+            return batch.filter(m if want_val else pc.invert(m))
+
+        return pairs.map_batches(f, batch_format="pyarrow")
+
+    train_ds = split(False)
+    val_ds = split(True)
+    n_train = train_ds.count()
+
+    trainable = LSTMCrossEncoderTrainable(seed=P5PairPrepStage.CROSS_SEED)
+    params = trainable.params
+    init_flat = p5_flatten(params).copy()
+
+    losses: list[float] = []
+    opt = AdamState([params[k] for k in sorted(params)], lr=lr)
+
+    def opt_step(params, grads):
+        ks = sorted(params)
+        new = opt.step([params[k] for k in ks], [grads[k] for k in ks])
+        return dict(zip(ks, new))
+
+    use_driver = (n_train <= driver_gate) and not force_distributed
+    if use_driver:
+        tables = []
+        for b in train_ds.iter_batches(
+            batch_size=1 << 20, batch_format="pyarrow"
+        ):
+            tables.append(b)
+        allb = pa.concat_tables(tables) if tables else None
+        if allb is not None and len(allb):
+            (ia, la, fa), (ib, lb, fb), Y = _p5_batch_tensors(
+                allb, trainable.n_ctx
+            )
+            for _ in range(steps):
+                loss, grads = trainable.loss_and_grads(
+                    ia, la, fa, ib, lb, fb, Y, params=params
+                )
+                loss /= max(len(Y), 1)
+                grads = {k: g / max(len(Y), 1) for k, g in grads.items()}
+                losses.append(loss)
+                params = opt_step(params, grads)
+    else:
+        train_ds = train_ds.materialize()
+        for _ in range(steps):
+            loss, grads = distributed_p5_grads(train_ds, trainable, params)
+            losses.append(loss)
+            params = opt_step(params, grads)
+
+    vt = []
+    for b in val_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        vt.append(b)
+    valb = pa.concat_tables(vt) if vt else None
+    if valb is not None and len(valb):
+        (ia, la, fa), (ib, lb, fb), VY = _p5_batch_tensors(
+            valb, trainable.n_ctx
+        )
+        before = _eval_from_logits(
+            trainable.logits(
+                ia, la, fa, ib, lb, fb,
+                params=p5_unflatten(init_flat, params),
+            ),
+            VY,
+        )
+        after = _eval_from_logits(
+            trainable.logits(ia, la, fa, ib, lb, fb, params=params), VY
+        )
+        n_val = len(VY)
+    else:
+        before = after = {"auc": 0.0, "margin": 0.0, "loss": 0.0}
+        n_val = 0
+
+    metrics = {
+        "n_train_pairs": float(n_train),
+        "n_val_pairs": float(n_val),
+        "steps": float(steps),
+        "distributed": float(not use_driver),
+        "n_params": float(init_flat.size),
+        "loss_initial": losses[0] if losses else 0.0,
+        "loss_final": losses[-1] if losses else 0.0,
+        "val_loss_untrained": before["loss"],
+        "val_loss_trained": after["loss"],
+        "val_auc_untrained": before["auc"],
+        "val_auc_trained": after["auc"],
+        "val_margin_untrained": before["margin"],
+        "val_margin_trained": after["margin"],
+    }
+    return {"params": params, "metrics": metrics}
+
+
+def train_rerank_encoder_metrics(sf_dir: str):
+    """queries() entry (rows-only): P5 reranker training, held-out
+    separation before/after. 8 steps at lr 0.02 reach held-out AUC
+    ~1.0 (the cross features make the labeled fixture separable
+    fast); the longer default schedule is for library callers."""
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
+
+    res = train_rerank_encoder(sf_dir, steps=8, lr=0.02)
+    return metrics_table(res["metrics"])
+
+
 class TrainedScorerStage:
     """Actor-pool pair scorer carrying TRAINED weights: the seeded
     model rebuilds in __init__ and the trained params (shipped once
