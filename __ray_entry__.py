@@ -90,6 +90,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_rerank_encoder_metrics": (
             training.train_rerank_encoder_metrics
         ),
+        # siamese bi-encoder training (InfoNCE, in-batch negatives —
+        # the reference's similarity-model branch) — rows-only
+        "train_bi_encoder_metrics": training.train_bi_encoder_metrics,
         # --- T13 embedding client (local deterministic backend) ------
         "embed_client_vectors": analysis.embed_client_vectors,
         "embed_client_cost": analysis.embed_client_cost,

@@ -267,6 +267,92 @@ def p5_unflatten(flat: np.ndarray, like: dict[str, np.ndarray]):
     return out
 
 
+def _text_enc_forward(ids, lens, flags, p, h):
+    """The LSTMEmb text encoder (encoders/modules/rnn/rnn.py:29-88)
+    forward with caches: token embedding (+ optional flag vector when
+    `flags`/`p["siv"]` are present) -> biLSTM -> ConcatAgg(final,
+    max, avg) -> mixture linear. Shared by the P5 cross-encoder and
+    the bi-encoder."""
+    emb = p["E"][ids]
+    if flags is not None:
+        emb = emb + flags[:, :, None] * p["siv"]
+    emb[ids == PAD_ID] = 0.0
+    emb_r = _reverse_padded(emb, lens)
+    hf, of, cf = _lstm_forward_cached(
+        emb, lens, p["Wf"], p["Uf"], p["bf"], h, want_outs=True
+    )
+    hb, ob, cb = _lstm_forward_cached(
+        emb_r, lens, p["Wb"], p["Ub"], p["bb"], h, want_outs=True
+    )
+    outs = np.concatenate([of, ob], axis=2)
+    h_final = np.concatenate([hf, hb], axis=1)
+    T = ids.shape[1]
+    valid = (np.arange(T)[None, :] < lens[:, None])[:, :, None]
+    masked = np.where(valid, outs, -np.inf)
+    am = masked.argmax(axis=1)  # (N, 2h) first-argmax like torch
+    mx = np.take_along_axis(outs, am[:, None, :], axis=1)[:, 0, :]
+    avg = outs.sum(axis=1) / lens[:, None]
+    agg = np.concatenate([h_final, mx, avg], axis=1)
+    e = agg @ p["Wmix"] + p["bmix"]
+    state = (emb, emb_r, cf, cb, am, agg, valid)
+    return e, state
+
+
+def _text_enc_backward(ids, lens, flags, p, h, state, de, grads):
+    """Backward of `_text_enc_forward`: output-embedding gradient
+    `de` -> pooling (max routes to the first argmax, avg spreads
+    1/len over valid steps) -> both LSTM directions -> embedding
+    scatter (+ flag-vector gradient when flags are present)."""
+    emb, emb_r, cf, cb, am, agg, valid = state
+    grads["Wmix"] += agg.T @ de
+    grads["bmix"] += de.sum(axis=0)
+    dagg = de @ p["Wmix"].T
+    dh_final = dagg[:, : 2 * h]
+    dmx = dagg[:, 2 * h : 4 * h]
+    davg = dagg[:, 4 * h :]
+
+    N, T, _ = emb.shape
+    d_outs = np.where(valid, (davg / lens[:, None])[:, None, :], 0.0)
+    np.add.at(
+        d_outs,
+        (np.arange(N)[:, None], am, np.arange(2 * h)[None, :]),
+        dmx,
+    )
+
+    demb_f, dWf, dUf, dbf = _lstm_backward(
+        emb, lens, p["Wf"], p["Uf"], dh_final[:, :h], cf, h,
+        d_outs=d_outs[:, :, :h],
+    )
+    demb_r, dWb, dUb, dbb = _lstm_backward(
+        emb_r, lens, p["Wb"], p["Ub"], dh_final[:, h:], cb, h,
+        d_outs=d_outs[:, :, h:],
+    )
+    grads["Wf"] += dWf
+    grads["Uf"] += dUf
+    grads["bf"] += dbf
+    grads["Wb"] += dWb
+    grads["Ub"] += dUb
+    grads["bb"] += dbb
+
+    idx = np.arange(T)[None, :]
+    v2 = idx < lens[:, None]
+    rev = np.where(v2, lens[:, None] - 1 - idx, 0)
+    demb = demb_f
+    np.add.at(
+        demb, (np.arange(N)[:, None], rev),
+        np.where(v2[:, :, None], demb_r, 0.0),
+    )
+    # emb = E[ids] (+ flags*siv), then PAD rows zeroed: PAD positions
+    # got no gradient (masked in BPTT), so the scatter below is exact
+    if flags is not None:
+        grads["siv"] += (demb * flags[:, :, None]).sum(axis=(0, 1))
+    flat_ids = ids.reshape(-1)
+    keep = flat_ids != PAD_ID
+    np.add.at(
+        grads["E"], flat_ids[keep], demb.reshape(-1, demb.shape[2])[keep]
+    )
+
+
 class LSTMCrossEncoderTrainable:
     """The reference's reranker model (LSTMCrossEncoder, rnn.py) with
     hand-derived full gradients — the `cross_enc` branch of
@@ -303,79 +389,10 @@ class LSTMCrossEncoderTrainable:
 
     # ---- one side through the text encoder, with caches ----
     def _encode_side_cached(self, ids, lens, flags, p):
-        h = self.hidden
-        emb = p["E"][ids] + flags[:, :, None] * p["siv"]
-        emb[ids == PAD_ID] = 0.0
-        emb_r = _reverse_padded(emb, lens)
-        hf, of, cf = _lstm_forward_cached(
-            emb, lens, p["Wf"], p["Uf"], p["bf"], h, want_outs=True
-        )
-        hb, ob, cb = _lstm_forward_cached(
-            emb_r, lens, p["Wb"], p["Ub"], p["bb"], h, want_outs=True
-        )
-        outs = np.concatenate([of, ob], axis=2)
-        h_final = np.concatenate([hf, hb], axis=1)
-        T = ids.shape[1]
-        valid = (np.arange(T)[None, :] < lens[:, None])[:, :, None]
-        masked = np.where(valid, outs, -np.inf)
-        am = masked.argmax(axis=1)  # (N, 2h) first-argmax like torch
-        mx = np.take_along_axis(outs, am[:, None, :], axis=1)[:, 0, :]
-        avg = outs.sum(axis=1) / lens[:, None]
-        agg = np.concatenate([h_final, mx, avg], axis=1)
-        e = agg @ p["Wmix"] + p["bmix"]
-        state = (emb, emb_r, cf, cb, am, agg, valid)
-        return e, state
+        return _text_enc_forward(ids, lens, flags, p, self.hidden)
 
     def _side_backward(self, ids, lens, flags, p, state, de, grads):
-        h = self.hidden
-        emb, emb_r, cf, cb, am, agg, valid = state
-        grads["Wmix"] += agg.T @ de
-        grads["bmix"] += de.sum(axis=0)
-        dagg = de @ p["Wmix"].T
-        dh_final = dagg[:, : 2 * h]
-        dmx = dagg[:, 2 * h : 4 * h]
-        davg = dagg[:, 4 * h :]
-
-        N, T, _ = emb.shape
-        d_outs = np.where(valid, (davg / lens[:, None])[:, None, :], 0.0)
-        np.add.at(
-            d_outs,
-            (np.arange(N)[:, None], am, np.arange(2 * h)[None, :]),
-            dmx,
-        )
-
-        demb_f, dWf, dUf, dbf = _lstm_backward(
-            emb, lens, p["Wf"], p["Uf"], dh_final[:, :h], cf, h,
-            d_outs=d_outs[:, :, :h],
-        )
-        demb_r, dWb, dUb, dbb = _lstm_backward(
-            emb_r, lens, p["Wb"], p["Ub"], dh_final[:, h:], cb, h,
-            d_outs=d_outs[:, :, h:],
-        )
-        grads["Wf"] += dWf
-        grads["Uf"] += dUf
-        grads["bf"] += dbf
-        grads["Wb"] += dWb
-        grads["Ub"] += dUb
-        grads["bb"] += dbb
-
-        idx = np.arange(T)[None, :]
-        v2 = idx < lens[:, None]
-        rev = np.where(v2, lens[:, None] - 1 - idx, 0)
-        demb = demb_f
-        np.add.at(
-            demb, (np.arange(N)[:, None], rev),
-            np.where(v2[:, :, None], demb_r, 0.0),
-        )
-        # emb = E[ids] + flags*siv, then PAD rows zeroed: PAD
-        # positions got no gradient (masked in BPTT), so the scatter
-        # below is exact
-        grads["siv"] += (demb * flags[:, :, None]).sum(axis=(0, 1))
-        flat_ids = ids.reshape(-1)
-        keep = flat_ids != PAD_ID
-        np.add.at(
-            grads["E"], flat_ids[keep], demb.reshape(-1, demb.shape[2])[keep]
-        )
+        _text_enc_backward(ids, lens, flags, p, self.hidden, state, de, grads)
 
     def loss_and_grads(
         self, ids_a, lens_a, flags_a, ids_b, lens_b, flags_b, y,
@@ -434,6 +451,148 @@ class LSTMCrossEncoderTrainable:
             flags_a[i, : lens_a[i]] = np.isin(ids_a[i, : lens_a[i]], seq_b[i])
             flags_b[i, : lens_b[i]] = np.isin(ids_b[i, : lens_b[i]], seq_a[i])
         return (ids_a, lens_a, flags_a), (ids_b, lens_b, flags_b)
+
+
+# ---------------------------------------------------------------------------
+# The siamese bi-encoder (ModelOnPairs branch of train_model.py:146-153):
+# RNNTextEncoder -> cosine -> InfoNCE over in-batch negatives.
+# ---------------------------------------------------------------------------
+
+BI_PARAM_NAMES = (
+    "E",
+    "Wf", "Uf", "bf",
+    "Wb", "Ub", "bb",
+    "Wmix", "bmix",
+)
+
+
+def bi_flatten(params: dict[str, np.ndarray]) -> np.ndarray:
+    return np.concatenate([params[k].reshape(-1) for k in BI_PARAM_NAMES])
+
+
+def bi_unflatten(flat: np.ndarray, like: dict[str, np.ndarray]):
+    out, off = {}, 0
+    for k in BI_PARAM_NAMES:
+        sz = like[k].size
+        out[k] = flat[off : off + sz].reshape(like[k].shape)
+        off += sz
+    return out
+
+
+class BiEncoderTrainable:
+    """The reference's similarity (retrieval) model training branch:
+    a siamese RNN text encoder over (anchor, positive) pairs with the
+    InfoNCE / NT-Xent objective and IN-BATCH negatives
+    (losses.py:79-91 InfoNCEPairs wiring NTXentLoss(temp) over
+    concat(anchors, positives) with paired labels;
+    train_model.py:146-153). The encoder is the same LSTMEmb shape as
+    the cross-encoder's text encoder (encoders/modules/rnn/rnn.py) —
+    shared forward/backward here — WITHOUT the pair-dependent cross
+    features, which is what makes it a bi-encoder: every document
+    embeds independently, so trained embeddings can be indexed (ANN)
+    instead of scored pairwise."""
+
+    def __init__(
+        self,
+        vocab_size: int = 4096,
+        d_input: int = 32,
+        hidden: int = 32,
+        out_size: int = 32,
+        n_ctx: int = 48,
+        seed: int = 0xB1E5C0,
+        temp: float = 0.05,
+    ):
+        rng = np.random.default_rng(np.random.PCG64(seed))
+        self.vocab_size = vocab_size
+        self.hidden = hidden
+        self.out_size = out_size
+        self.n_ctx = n_ctx
+        self.seed = seed
+        self.temp = temp
+        E = rng.standard_normal((vocab_size, d_input))
+        E[PAD_ID] = 0.0
+        k = 1.0 / np.sqrt(hidden)
+
+        def direction():
+            return (
+                rng.uniform(-k, k, (d_input, 4 * hidden)),
+                rng.uniform(-k, k, (hidden, 4 * hidden)),
+                rng.uniform(-k, k, 4 * hidden),
+            )
+
+        Wf, Uf, bf = direction()
+        Wb, Ub, bb = direction()
+        km = 1.0 / np.sqrt(6 * hidden)
+        self.params = {
+            "E": E,
+            "Wf": Wf, "Uf": Uf, "bf": bf,
+            "Wb": Wb, "Ub": Ub, "bb": bb,
+            "Wmix": rng.uniform(-km, km, (6 * hidden, out_size)),
+            "bmix": rng.uniform(-km, km, out_size),
+        }
+
+    def prepare(self, texts: list[str]):
+        seqs = token_ids_batch(texts, self.vocab_size)
+        return pad_id_lists(seqs, self.n_ctx)
+
+    def embed(self, ids, lens, params=None) -> np.ndarray:
+        """L2-normalized document embeddings (the vectors an ANN
+        index would hold)."""
+        p = params if params is not None else self.params
+        e, _ = _text_enc_forward(ids, lens, None, p, self.hidden)
+        return e / np.maximum(
+            np.linalg.norm(e, axis=1, keepdims=True), 1e-12
+        )
+
+    def loss_and_grads(
+        self,
+        ids_a: np.ndarray,
+        lens_a: np.ndarray,
+        ids_b: np.ndarray,
+        lens_b: np.ndarray,
+        params: dict[str, np.ndarray] | None = None,
+    ) -> tuple[float, dict[str, np.ndarray]]:
+        """SUM NT-Xent loss over the 2n in-batch anchors and its
+        exact gradient. Every embedding other than an anchor's own
+        pair partner is its negative — the per-batch negative set, so
+        a distributed pass over B batches optimizes B local-negative
+        objectives (exactly torch's per-device behavior)."""
+        p = params if params is not None else self.params
+        h = self.hidden
+        n = len(ids_a)
+
+        ea, sta = _text_enc_forward(ids_a, lens_a, None, p, h)
+        eb, stb = _text_enc_forward(ids_b, lens_b, None, p, h)
+        e = np.concatenate([ea, eb], axis=0)  # (2n, D)
+        norms = np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
+        z = e / norms
+        S = z @ z.T
+        m = 2 * n
+        logits = S / self.temp
+        np.fill_diagonal(logits, -np.inf)
+        pi = (np.arange(m) + n) % m  # pair partner index
+
+        row_max = logits.max(axis=1, keepdims=True)
+        ex = np.exp(logits - row_max)
+        denom = ex.sum(axis=1)
+        lse = np.log(denom) + row_max.reshape(-1)
+        pos = logits[np.arange(m), pi]
+        loss = float((lse - pos).sum())
+
+        # dL/dlogits = softmax - onehot(pi), zero diagonal
+        P = ex / denom[:, None]
+        P[np.arange(m), pi] -= 1.0
+        dS = P / self.temp
+        # S = z z^T (same z both sides): dz = (dS + dS^T) @ z
+        dz = (dS + dS.T) @ z
+        # z = e / ||e||: de = (dz - z (z . dz)) / ||e||
+        de = (dz - z * (z * dz).sum(axis=1, keepdims=True)) / norms
+
+        grads = {k: np.zeros_like(v) for k, v in p.items()}
+        _text_enc_backward(ids_a, lens_a, None, p, h, sta, de[:n], grads)
+        _text_enc_backward(ids_b, lens_b, None, p, h, stb, de[n:], grads)
+        grads["E"][PAD_ID] = 0.0
+        return loss, grads
 
 
 def dedup_sides(side_a, side_b, max_len: int):

@@ -1008,6 +1008,205 @@ def train_rerank_encoder(
     return {"params": params, "metrics": metrics}
 
 
+def distributed_bi_grads(tok_ds, trainable, params):
+    """Per-step data-parallel pass for the bi-encoder: each batch
+    optimizes NT-Xent with ITS OWN in-batch negatives (exactly
+    torch's per-device contrastive behavior), partials summed as
+    usual. With a single batch this equals the driver loop (pinned in
+    tests); with many, it is the standard local-negatives
+    approximation."""
+    from stack_trace_deduplication_ray.functions.neural import pad_id_lists
+    from stack_trace_deduplication_ray.functions.neural_train import (
+        bi_flatten,
+        bi_unflatten,
+    )
+
+    params_ref = ray.put({k: np.asarray(v) for k, v in params.items()})
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.uint64()),
+                    "loss": pa.array([], type=pa.float64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "grad": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        prm = ray.get(params_ref)
+        a = [np.asarray(s, dtype=np.int64) for s in batch.column("a_ids").to_pylist()]
+        b = [np.asarray(s, dtype=np.int64) for s in batch.column("p_ids").to_pylist()]
+        ids_a, lens_a = pad_id_lists(a, trainable.n_ctx)
+        ids_b, lens_b = pad_id_lists(b, trainable.n_ctx)
+        loss, grads = trainable.loss_and_grads(
+            ids_a, lens_a, ids_b, lens_b, params=prm
+        )
+        flat = bi_flatten(grads)
+        key = H.hash_bytes_arrays([flat.tobytes()])[:1]
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "loss": pa.array([loss]),
+                "n": pa.array([2 * len(a)], type=pa.int64()),
+                "grad": pa.array([flat.tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    parts = tok_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=1024
+    ).to_pandas()
+    parts = parts.sort_values("key", kind="stable")
+    n = int(parts["n"].sum())
+    loss = float(parts["loss"].sum()) / max(n, 1)
+    flat = np.zeros(bi_flatten(params).size, dtype=np.float64)
+    for g in parts["grad"]:
+        flat += np.asarray(g, dtype=np.float64)
+    flat /= max(n, 1)
+    return loss, bi_unflatten(flat, params)
+
+
+def train_bi_encoder(
+    sf_dir: str,
+    steps: int = 30,
+    lr: float = 0.01,
+    seed: int = TRAIN_SEED,
+    driver_gate: int = 3_000,
+    force_distributed: bool = False,
+    cfg: DedupConfig | None = None,
+):
+    """Train the siamese bi-encoder — the reference's similarity-model
+    branch (train_model.py:146-153: RNNTextEncoder + cosine +
+    InfoNCEPairs) — on the labeled fixture's (anchor, positive) pairs
+    with in-batch negatives. Reuses the tokenized triplet dataset
+    (negatives unused for the objective; the n_ids column feeds the
+    held-out eval). Returns {"params", "metrics"} where metrics
+    include a retrieval-style eval: held-out cosine AUC of (a,p) vs
+    (a,n) and Acc@1 of the true duplicate among pool distractors,
+    before vs after."""
+    from stack_trace_deduplication_ray.functions.neural import pad_id_lists
+    from stack_trace_deduplication_ray.functions.neural_train import (
+        BiEncoderTrainable,
+        bi_flatten,
+        bi_unflatten,
+    )
+
+    cfg = cfg or DEFAULT_CONFIG
+    trip = triplet_dataset(sf_dir, cfg, seed=seed)
+    toks = trip.map_batches(
+        TripletTokenStage,
+        fn_constructor_kwargs={"seed": seed},
+        batch_format="pyarrow",
+        batch_size=2048,
+        concurrency=(1, 4),
+        num_cpus=1,
+    ).materialize()
+
+    def split(want_val: bool):
+        def f(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+
+            m = batch.column("is_val")
+            return batch.filter(m if want_val else pc.invert(m))
+
+        return toks.map_batches(f, batch_format="pyarrow")
+
+    train_ds = split(False)
+    val_ds = split(True)
+    n_train = train_ds.count()
+
+    trainable = BiEncoderTrainable()
+    params = trainable.params
+    init_flat = bi_flatten(params).copy()
+
+    losses: list[float] = []
+    opt = AdamState([params[k] for k in sorted(params)], lr=lr)
+
+    def opt_step(params, grads):
+        ks = sorted(params)
+        new = opt.step([params[k] for k in ks], [grads[k] for k in ks])
+        return dict(zip(ks, new))
+
+    use_driver = (n_train <= driver_gate) and not force_distributed
+    if use_driver:
+        a_all, p_all = [], []
+        for b in train_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            a_all += [np.asarray(s, dtype=np.int64) for s in b.column("a_ids").to_pylist()]
+            p_all += [np.asarray(s, dtype=np.int64) for s in b.column("p_ids").to_pylist()]
+        ids_a, lens_a = pad_id_lists(a_all, trainable.n_ctx)
+        ids_b, lens_b = pad_id_lists(p_all, trainable.n_ctx)
+        m2 = 2 * len(a_all)
+        for _ in range(steps):
+            loss, grads = trainable.loss_and_grads(
+                ids_a, lens_a, ids_b, lens_b, params=params
+            )
+            loss /= max(m2, 1)
+            grads = {k: g / max(m2, 1) for k, g in grads.items()}
+            losses.append(loss)
+            params = opt_step(params, grads)
+    else:
+        train_ds = train_ds.materialize()
+        for _ in range(steps):
+            loss, grads = distributed_bi_grads(train_ds, trainable, params)
+            losses.append(loss)
+            params = opt_step(params, grads)
+
+    # held-out eval: embed val anchors/positives/negatives, cosine
+    va, vp, vn = [], [], []
+    for b in val_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+        va += [np.asarray(s, dtype=np.int64) for s in b.column("a_ids").to_pylist()]
+        vp += [np.asarray(s, dtype=np.int64) for s in b.column("p_ids").to_pylist()]
+        vn += [np.asarray(s, dtype=np.int64) for s in b.column("n_ids").to_pylist()]
+
+    def eval_with(prm):
+        if not va:
+            return {"auc": 0.0, "margin": 0.0, "acc1": 0.0}
+        ids, lens = pad_id_lists(va + vp + vn, trainable.n_ctx)
+        z = trainable.embed(ids, lens, params=prm)
+        k = len(va)
+        za, zp, zn = z[:k], z[k : 2 * k], z[2 * k :]
+        cos_p = (za * zp).sum(axis=1)
+        cos_n = (za * zn).sum(axis=1)
+        ev = _eval_from_logits(
+            np.concatenate([cos_p, cos_n]),
+            np.concatenate([np.ones(k), np.zeros(k)]),
+        )
+        # Acc@1 proxy: does the true duplicate out-rank the drawn
+        # distractor per anchor (1 vs 1)?
+        return {
+            "auc": ev["auc"],
+            "margin": ev["margin"],
+            "acc1": float((cos_p > cos_n).mean()),
+        }
+
+    before = eval_with(bi_unflatten(init_flat, params))
+    after = eval_with(params)
+    metrics = {
+        "n_train_pairs": float(n_train),
+        "n_val_pairs": float(len(va)),
+        "steps": float(steps),
+        "distributed": float(not use_driver),
+        "n_params": float(init_flat.size),
+        "loss_initial": losses[0] if losses else 0.0,
+        "loss_final": losses[-1] if losses else 0.0,
+        "val_auc_untrained": before["auc"],
+        "val_auc_trained": after["auc"],
+        "val_margin_untrained": before["margin"],
+        "val_margin_trained": after["margin"],
+        "val_acc_untrained": before["acc1"],
+        "val_acc_trained": after["acc1"],
+    }
+    return {"params": params, "metrics": metrics}
+
+
+def train_bi_encoder_metrics(sf_dir: str):
+    """queries() entry (rows-only): InfoNCE bi-encoder training,
+    held-out cosine separation before/after."""
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
+
+    res = train_bi_encoder(sf_dir, steps=15, lr=0.02)
+    return metrics_table(res["metrics"])
+
+
 def train_rerank_encoder_metrics(sf_dir: str):
     """queries() entry (rows-only): P5 reranker training, held-out
     separation before/after. 8 steps at lr 0.02 reach held-out AUC
