@@ -93,6 +93,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # siamese bi-encoder training (InfoNCE, in-batch negatives —
         # the reference's similarity-model branch) — rows-only
         "train_bi_encoder_metrics": training.train_bi_encoder_metrics,
+        # indexing payoff: trained embeddings -> cosine 1-NN over the
+        # corpus, same-cluster accuracy before vs after — rows-only
+        "trained_embedding_ann": training.trained_embedding_ann,
         # --- T13 embedding client (local deterministic backend) ------
         "embed_client_vectors": analysis.embed_client_vectors,
         "embed_client_cost": analysis.embed_client_cost,

@@ -1207,6 +1207,151 @@ def train_bi_encoder_metrics(sf_dir: str):
     return metrics_table(res["metrics"])
 
 
+class BiEmbedStage:
+    """Actor-pool corpus embedder: the bi-encoder rebuilds from seed
+    per actor; trained params (if any) ship once per actor via the
+    object store. Emits (image_id, fixed_size_list<float32> embedding)
+    — the column a vector index (`similarity.py` ANN paths) consumes."""
+
+    def __init__(self, params_ref=None, seed: int = 0xB1E5C0):
+        from stack_trace_deduplication_ray.functions.neural_train import (
+            BiEncoderTrainable,
+        )
+
+        self.model = BiEncoderTrainable()
+        self.params = (
+            ray.get(params_ref) if params_ref is not None else None
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        d = self.model.out_size
+        f32 = pa.list_(pa.float32(), d)
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "image_id": pa.array([], type=pa.string()),
+                    "embedding": pa.array([], type=f32),
+                }
+            )
+        ids, lens = self.model.prepare(batch.column("caption").to_pylist())
+        z = self.model.embed(ids, lens, params=self.params).astype(np.float32)
+        return pa.table(
+            {
+                "image_id": batch.column("image_id").cast(pa.string()),
+                "embedding": pa.FixedSizeListArray.from_arrays(
+                    pa.array(z.reshape(-1)), d
+                ).cast(f32),
+            }
+        )
+
+
+def trained_embedding_ann(sf_dir: str, steps: int = 15, lr: float = 0.02):
+    """queries() entry (rows-only): the INDEXING payoff of bi-encoder
+    training. Embed the whole labeled corpus with the untrained and
+    the trained encoder (actor-pool stages), then for each held-out
+    anchor find its cosine 1-NN over the corpus (transposed
+    brute-force: corpus batches x broadcast query matrix, per-batch
+    top-1 partials, small driver merge — the knn_brute_force scale
+    pattern) and check the neighbor shares its truth cluster. The
+    proxy: nn_acc_trained >> nn_acc_untrained."""
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
+
+    cfg = DEFAULT_CONFIG
+    res = train_bi_encoder(sf_dir, steps=steps, lr=lr)
+    trained_ref = ray.put(res["params"])
+
+    labeled, _ = _fixture_labeled_captions(sf_dir)
+    labeled = labeled.materialize()
+
+    # held-out query set: val anchors of the triplet split, with their
+    # truth cluster for the 1-NN check
+    trip = triplet_dataset(sf_dir, cfg)
+
+    def val_anchors(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(batch.column("is_val"))
+        return pa.table(
+            {
+                "anchor_id": batch.column("anchor_id"),
+                "anchor": batch.column("anchor"),
+            }
+        )
+
+    queries = trip.map_batches(val_anchors, batch_format="pyarrow").to_pandas()
+    # anchor -> cluster map rides the labeled table (bounded: val-sized
+    # probe set against a broadcast pair of arrays)
+    lab = labeled.select_columns(["image_id", "cluster_id"]).to_pandas()
+    cl_of = dict(zip(lab["image_id"].astype(str), lab["cluster_id"].astype(str)))
+
+    def nn_acc(params_ref) -> float:
+        emb = labeled.map_batches(
+            BiEmbedStage,
+            fn_constructor_kwargs={"params_ref": params_ref},
+            batch_format="pyarrow",
+            batch_size=1024,
+            concurrency=(1, 4),
+            num_cpus=1,
+        )
+        # embed the queries once on the driver (val-sized)
+        from stack_trace_deduplication_ray.functions.neural_train import (
+            BiEncoderTrainable,
+        )
+
+        model = BiEncoderTrainable()
+        prm = ray.get(params_ref) if params_ref is not None else None
+        qids, qlens = model.prepare(queries["anchor"].tolist())
+        Q = model.embed(qids, qlens, params=prm)  # (q, d)
+        q_ref = ray.put(Q.astype(np.float32))
+        q_anchor = queries["anchor_id"].astype(str).tolist()
+
+        def best_in_batch(batch: pa.Table) -> pa.Table:
+            Qm = ray.get(q_ref)
+            z = np.asarray(
+                batch.column("embedding").combine_chunks().values
+            ).reshape(len(batch), -1)
+            ids = batch.column("image_id").to_pylist()
+            s = z @ Qm.T  # (batch, q)
+            # exclude self-matches by id (one hash build per batch)
+            pos = {str(v): i for i, v in enumerate(ids)}
+            for qi, a in enumerate(q_anchor):
+                bi = pos.get(a)
+                if bi is not None:
+                    s[bi, qi] = -np.inf
+            top = s.argmax(axis=0)
+            return pa.table(
+                {
+                    "q": pa.array(np.arange(s.shape[1], dtype=np.int64)),
+                    "score": pa.array(s[top, np.arange(s.shape[1])]),
+                    "nn_id": pa.array([str(ids[t]) for t in top]),
+                }
+            )
+
+        parts = emb.map_batches(
+            best_in_batch, batch_format="pyarrow", batch_size=2048
+        ).to_pandas()
+        best = (
+            parts.sort_values(["q", "score"], kind="stable")
+            .groupby("q", sort=True)
+            .tail(1)
+            .sort_values("q")
+        )
+        ok = 0
+        for qi, nn in zip(best["q"], best["nn_id"]):
+            if cl_of.get(str(q_anchor[qi])) == cl_of.get(str(nn)):
+                ok += 1
+        return ok / max(len(q_anchor), 1)
+
+    acc_un = nn_acc(None)
+    acc_tr = nn_acc(trained_ref)
+    return metrics_table(
+        {
+            "n_queries": float(len(queries)),
+            "nn_acc_untrained": acc_un,
+            "nn_acc_trained": acc_tr,
+            "train_val_auc": res["metrics"]["val_auc_trained"],
+        }
+    )
+
+
 def train_rerank_encoder_metrics(sf_dir: str):
     """queries() entry (rows-only): P5 reranker training, held-out
     separation before/after. 8 steps at lr 0.02 reach held-out AUC

@@ -86,6 +86,22 @@ def test_bi_training_improves_heldout(ray_session):
     assert m["val_margin_trained"] > m["val_margin_untrained"] + 0.2
 
 
+def test_trained_embeddings_improve_nn_retrieval(ray_session):
+    """Indexing payoff: 1-NN same-cluster accuracy over corpus
+    embeddings rises after training."""
+    from stack_trace_deduplication_ray.pipelines.training import (
+        trained_embedding_ann,
+    )
+
+    m = {
+        r["metric"]: r["value"]
+        for r in trained_embedding_ann(SF).to_pylist()
+    }
+    assert m["n_queries"] >= 20
+    assert m["nn_acc_trained"] >= 0.85
+    assert m["nn_acc_trained"] > m["nn_acc_untrained"]
+
+
 def test_bi_distributed_single_batch_matches_driver(ray_session):
     """With everything in one batch the distributed in-batch-negative
     objective IS the driver objective."""
