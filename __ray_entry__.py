@@ -40,6 +40,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ranking,
         relational,
         rerank,
+        pretrain,
         similarity,
         text,
         training,
@@ -96,6 +97,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # indexing payoff: trained embeddings -> cosine 1-NN over the
         # corpus, same-cluster accuracy before vs after — rows-only
         "trained_embedding_ann": training.trained_embedding_ann,
+        # unsupervised SGNS pretraining (SkipGramBOW.initialize) and
+        # the pretrain->fine-tune flow (documented corpus-limited
+        # transfer) — rows-only
+        "pretrain_skipgram_metrics": pretrain.pretrain_skipgram_metrics,
+        "pretrained_init_benefit": pretrain.pretrained_init_benefit,
         # --- T13 embedding client (local deterministic backend) ------
         "embed_client_vectors": analysis.embed_client_vectors,
         "embed_client_cost": analysis.embed_client_cost,

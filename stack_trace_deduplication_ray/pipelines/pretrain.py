@@ -1,0 +1,303 @@
+"""Unsupervised skip-gram pretraining of token embeddings — the
+reference's SkipGramBOW.initialize step (skip_gram_BOW.py:23-45,
+wired before bi-encoder fitting at train_model.py:146-148) — as a
+Ray-Data pipeline over the unlabeled corpus.
+
+Stages:
+* pair generation: one ``map_batches`` pass over captions emits
+  (center, context) id pairs within the window (both directions) —
+  the only stage that touches text; at 100-TB scale it streams and
+  the pair table is the working set;
+* unigram counts for the noise distribution: per-batch ``bincount``
+  partials (one fixed 4096-long row each) summed on the driver — the
+  same partial-aggregate shape as the DF fits, no shuffle;
+* SGNS optimization (functions/word2vec.py): negatives are a pure
+  hash of the pair, so gradients are independent of batching and the
+  driver and distributed paths agree exactly; full-batch Adam with
+  the usual two-path layout (driver loop under a gate, one
+  ``map_batches`` partial-gradient pass per step above it).
+
+The payoff query (`pretrained_init_benefit`) reproduces the
+reference's flow end to end: pretrained input vectors initialize the
+bi-encoder's embedding table, which then fine-tunes with InfoNCE —
+versus the same schedule from scratch init.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray
+
+from stack_trace_deduplication_ray.config import DEFAULT_CONFIG, DedupConfig
+from stack_trace_deduplication_ray.functions import hashing as H
+from stack_trace_deduplication_ray.functions.neural import (
+    AdamState,
+    token_ids_batch,
+)
+from stack_trace_deduplication_ray.functions.word2vec import (
+    draw_negatives,
+    init_embeddings,
+    noise_cdf,
+    sgns_loss_and_grads,
+    skipgram_pairs,
+)
+from stack_trace_deduplication_ray.pipelines.training import (
+    TRAIN_SEED,
+    _eval_from_logits,
+    _fixture_labeled_captions,
+)
+
+VOCAB = 4096
+DIM = 32
+
+
+def skipgram_pair_dataset(sf_dir: str, window: int = 2):
+    """(center, context) pair dataset + unigram count vector from the
+    fixture captions. Pairs are the distributed working set; counts
+    come back as per-batch bincount partials."""
+    labeled, _ = _fixture_labeled_captions(sf_dir)
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        seqs = token_ids_batch(batch.column("caption").to_pylist(), VOCAB)
+        c, o = skipgram_pairs(seqs, window)
+        counts = np.zeros(VOCAB, dtype=np.int64)
+        for s in seqs:
+            counts += np.bincount(s, minlength=VOCAB)
+        return pa.table(
+            {
+                "center": pa.array(c),
+                "context": pa.array(o),
+                # counts partial rides the first row of each batch
+                # output (empty list elsewhere) — one pass, no second
+                # corpus read
+                "counts": pa.array(
+                    [counts.tolist()] + [[]] * (len(c) - 1)
+                    if len(c) > 0
+                    else [],
+                    type=pa.list_(pa.int64()),
+                ),
+            }
+        )
+
+    ds = labeled.map_batches(pairs, batch_format="pyarrow").materialize()
+
+    counts = np.zeros(VOCAB, dtype=np.int64)
+    for b in ds.select_columns(["counts"]).iter_batches(
+        batch_size=8192, batch_format="pyarrow"
+    ):
+        for row in b.column("counts"):
+            v = row.values
+            if len(v):
+                counts += np.asarray(v.to_numpy(zero_copy_only=False))
+    return ds.select_columns(["center", "context"]), counts
+
+
+def _pair_split(c: np.ndarray, o: np.ndarray, seed: int):
+    """Deterministic 1/8 holdout on the pair hash."""
+    hv = H.splitmix64(
+        c.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        ^ o.astype(np.uint64)
+        ^ np.uint64(seed)
+    )
+    return (hv & np.uint64(7)) != np.uint64(0)
+
+
+def distributed_sgns_grads(pair_ds, cdf_ref, params_ref, k_neg, seed):
+    """One synchronous SGNS gradient pass: per-batch dense partials
+    (2 x vocab x dim float64), deterministic by construction (hash
+    negatives), sorted-key driver sum."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.uint64()),
+                    "loss": pa.array([], type=pa.float64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "grad": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        Vin, Vout = ray.get(params_ref)
+        cdf = ray.get(cdf_ref)
+        c = batch.column("center").to_numpy().astype(np.int64)
+        o = batch.column("context").to_numpy().astype(np.int64)
+        neg = draw_negatives(c, o, cdf, k_neg, seed)
+        loss, gi, go = sgns_loss_and_grads(c, o, neg, Vin, Vout)
+        flat = np.concatenate([gi.reshape(-1), go.reshape(-1)])
+        key = H.hash_bytes_arrays([flat.tobytes()])[:1]
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "loss": pa.array([loss]),
+                "n": pa.array([len(c)], type=pa.int64()),
+                "grad": pa.array([flat.tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    parts = pair_ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=65536
+    ).to_pandas()
+    parts = parts.sort_values("key", kind="stable")
+    n = int(parts["n"].sum())
+    loss = float(parts["loss"].sum()) / max(n, 1)
+    flat = np.zeros(2 * VOCAB * DIM, dtype=np.float64)
+    for g in parts["grad"]:
+        flat += np.asarray(g, dtype=np.float64)
+    flat /= max(n, 1)
+    return loss, flat[: VOCAB * DIM].reshape(VOCAB, DIM), flat[
+        VOCAB * DIM :
+    ].reshape(VOCAB, DIM)
+
+
+def pretrain_skipgram(
+    sf_dir: str,
+    window: int = 2,
+    k_neg: int = 5,
+    steps: int = 40,
+    lr: float = 0.05,
+    seed: int = TRAIN_SEED,
+    driver_gate: int = 500_000,
+    force_distributed: bool = False,
+):
+    """SGNS pretraining over the fixture captions. Returns
+    {"Vin", "Vout", "metrics"}; metrics carry train loss and a
+    held-out co-occurrence AUC (held-out true (center, context) pairs
+    vs hash-drawn random token pairs, scored by Vin-dot) before vs
+    after."""
+    pair_ds, counts = skipgram_pair_dataset(sf_dir, window)
+    cdf = noise_cdf(counts)
+    Vin, Vout = init_embeddings(VOCAB, DIM, seed=seed ^ 0x5697)
+    init_Vin = Vin.copy()
+
+    n_pairs = pair_ds.count()
+    losses: list[float] = []
+    opt = AdamState([Vin, Vout], lr=lr)
+    use_driver = (n_pairs <= driver_gate) and not force_distributed
+
+    if use_driver:
+        cs, os_ = [], []
+        for b in pair_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            cs.append(b.column("center").to_numpy().astype(np.int64))
+            os_.append(b.column("context").to_numpy().astype(np.int64))
+        c = np.concatenate(cs) if cs else np.empty(0, dtype=np.int64)
+        o = np.concatenate(os_) if os_ else np.empty(0, dtype=np.int64)
+        tr = _pair_split(c, o, seed)
+        ct, ot = c[tr], o[tr]
+        for step in range(steps):
+            # fresh deterministic negatives each step (gensim draws
+            # new samples every epoch; a fixed set overfits)
+            neg = draw_negatives(ct, ot, cdf, k_neg, seed ^ (step * 0x9E37))
+            loss, gi, go = sgns_loss_and_grads(ct, ot, neg, Vin, Vout)
+            loss /= max(len(ct), 1)
+            losses.append(loss)
+            Vin, Vout = opt.step(
+                (Vin, Vout), (gi / max(len(ct), 1), go / max(len(ct), 1))
+            )
+        cv, ov = c[~tr], o[~tr]
+    else:
+        def keep_train(batch: pa.Table) -> pa.Table:
+            c = batch.column("center").to_numpy().astype(np.int64)
+            o = batch.column("context").to_numpy().astype(np.int64)
+            return batch.filter(pa.array(_pair_split(c, o, seed)))
+
+        train_ds = pair_ds.map_batches(
+            keep_train, batch_format="pyarrow"
+        ).materialize()
+        cdf_ref = ray.put(cdf)
+        for step in range(steps):
+            params_ref = ray.put((Vin, Vout))
+            loss, gi, go = distributed_sgns_grads(
+                train_ds, cdf_ref, params_ref, k_neg, seed ^ (step * 0x9E37)
+            )
+            losses.append(loss)
+            Vin, Vout = opt.step((Vin, Vout), (gi, go))
+        # validation pairs pulled bounded (1/8 of the pair table)
+        cs, os_ = [], []
+        for b in pair_ds.iter_batches(batch_size=1 << 20, batch_format="pyarrow"):
+            c = b.column("center").to_numpy().astype(np.int64)
+            o = b.column("context").to_numpy().astype(np.int64)
+            m = ~_pair_split(c, o, seed)
+            cs.append(c[m])
+            os_.append(o[m])
+        cv = np.concatenate(cs) if cs else np.empty(0, dtype=np.int64)
+        ov = np.concatenate(os_) if os_ else np.empty(0, dtype=np.int64)
+
+    def val_loss(V_in, V_out) -> float:
+        """Held-out mean SGNS loss with FRESH-seed noise — the
+        model's own objective on pairs and negatives it never saw.
+        (A co-occurrence AUC is not meaningful on this corpus: the
+        fixture's captions draw words near-uniformly from a small
+        pool, so token-level data-vs-noise separation is governed by
+        the f vs f^0.75 frequency ratio, not by learnable semantic
+        structure; the generalization signal is the held-out loss.)"""
+        if len(cv) == 0:
+            return 0.0
+        neg = draw_negatives(cv, ov, cdf, k_neg, seed ^ 0xF00D)
+        loss, _, _ = sgns_loss_and_grads(cv, ov, neg, V_in, V_out)
+        return loss / len(cv)
+
+    before = val_loss(init_Vin, np.zeros_like(Vout))
+    after = val_loss(Vin, Vout)
+    metrics = {
+        "n_pairs": float(n_pairs),
+        "n_val_pairs": float(len(cv)),
+        "steps": float(steps),
+        "distributed": float(not use_driver),
+        "loss_initial": losses[0] if losses else 0.0,
+        "loss_final": losses[-1] if losses else 0.0,
+        "val_loss_untrained": before,
+        "val_loss_trained": after,
+    }
+    return {"Vin": Vin, "Vout": Vout, "metrics": metrics}
+
+
+def pretrain_skipgram_metrics(sf_dir: str):
+    """queries() entry (rows-only): SGNS pretraining, held-out
+    co-occurrence separation before/after."""
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
+
+    res = pretrain_skipgram(sf_dir)
+    return metrics_table(res["metrics"])
+
+
+def pretrained_init_benefit(sf_dir: str, steps: int = 6):
+    """queries() entry (rows-only): the reference's pretrain-then-
+    fine-tune flow (SkipGramBOW.initialize -> encoder fit) measured
+    honestly — the same short InfoNCE schedule from scratch init vs
+    from (std-rescaled) pretrained token embeddings.
+
+    DOCUMENTED NEGATIVE RESULT on this corpus: the fixture's captions
+    draw words near-uniformly from a small pool, so skip-gram can
+    only learn frequency structure (held-out SGNS loss does improve —
+    see pretrain_skipgram_metrics) and there is no semantic
+    co-occurrence for the warm start to transfer; measured transfer
+    is neutral-to-negative (auc_pretrained <= auc_scratch). The query
+    exists to keep the reference's full flow runnable and the claim
+    checkable — on a real corpus with co-occurrence structure the
+    same plumbing is where the benefit would appear."""
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
+    from stack_trace_deduplication_ray.pipelines.training import (
+        train_bi_encoder,
+    )
+
+    pre = pretrain_skipgram(sf_dir)
+    scratch = train_bi_encoder(sf_dir, steps=steps, lr=0.02)["metrics"]
+    # scale pretrained vectors so their per-element std matches the
+    # encoder's scratch init (N(0,1)) — word2vec vectors live at
+    # ~0.5/dim scale and would otherwise start the LSTM near-silent
+    Vin = pre["Vin"]
+    E0 = Vin / max(float(Vin.std()), 1e-12)
+    warm = train_bi_encoder(
+        sf_dir, steps=steps, lr=0.02, init_E=E0
+    )["metrics"]
+    return metrics_table(
+        {
+            "steps": float(steps),
+            "pretrain_val_loss": pre["metrics"]["val_loss_trained"],
+            "auc_scratch": scratch["val_auc_trained"],
+            "auc_pretrained": warm["val_auc_trained"],
+            "margin_scratch": scratch["val_margin_trained"],
+            "margin_pretrained": warm["val_margin_trained"],
+        }
+    )

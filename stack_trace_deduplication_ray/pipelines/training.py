@@ -1073,6 +1073,7 @@ def train_bi_encoder(
     driver_gate: int = 3_000,
     force_distributed: bool = False,
     cfg: DedupConfig | None = None,
+    init_E: np.ndarray | None = None,
 ):
     """Train the siamese bi-encoder — the reference's similarity-model
     branch (train_model.py:146-153: RNNTextEncoder + cosine +
@@ -1116,6 +1117,12 @@ def train_bi_encoder(
 
     trainable = BiEncoderTrainable()
     params = trainable.params
+    if init_E is not None:
+        # pretrained token embeddings (skip_gram_BOW.py:23-45 ->
+        # train_model.py:146-148 flow); PAD row stays zero
+        E = np.asarray(init_E, dtype=np.float64).copy()
+        E[0] = 0.0
+        params["E"] = E
     init_flat = bi_flatten(params).copy()
 
     losses: list[float] = []
