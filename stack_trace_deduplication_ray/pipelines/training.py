@@ -8,16 +8,18 @@ duplicate groups, a random corpus row as the negative
 create_triplets_all_with_all, capped per group), optimized with
 BCEWithLogits toward 1 on positives / 0 on negatives
 (reranker_losses.py:46-54; wired at train_model.py:75-76,105-165,
-batch_size 64, epochs 5). Torch is absent here, so full-BPTT training
-of the biLSTM encoder is out of scope; what this module trains — with
-exact analytic gradients, no autograd framework — is the S3M scoring
-head (s3m.py:82-96: MLP over [(h1+h2)/2, h1*h2, ||h1-h2||]) on top of
-the frozen seeded encoder, i.e. the probing-head regime. That is the
-part of the reference's training loop whose value survives a frozen
-encoder, and it is enough to take the pair scorer from chance to
-near-perfect separation on the labeled fixture (quality proxy in
-`train_cross_encoder_metrics`; gradients are verified against finite
-differences in tests/test_training.py).
+batch_size 64, epochs 5). Torch is absent here; training is closed
+anyway with exact hand-derived analytic gradients (no autograd
+framework), at three depths: `train_s3m_head` — the S3M scoring head
+(s3m.py:82-96: MLP over [(h1+h2)/2, h1*h2, ||h1-h2||]) over the
+frozen seeded encoder (the probing-head regime, enough to take the
+pair scorer from chance to near-perfect held-out separation);
+`train_s3m_full` — full-model BPTT through embeddings and both LSTM
+directions (functions/neural_train.py); and `train_rerank_encoder` /
+`train_bi_encoder` — the P5 token-level reranker and the InfoNCE
+siamese bi-encoder, the reference's other two training branches.
+Every gradient is verified against finite differences
+(tests/test_training*.py).
 
 The expensive stage — biLSTM-encoding every triplet side into the
 S3M pair features — runs exactly once, as an actor-pool
@@ -300,6 +302,31 @@ def _batch_xy(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return x, y
 
 
+def _split_val(ds, want_val: bool):
+    """is_val split as a batch filter (no per-row Python)."""
+
+    def f(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = batch.column("is_val")
+        return batch.filter(m if want_val else pc.invert(m))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _dict_opt_stepper(params: dict, lr: float):
+    """Adam over a named-parameter dict in sorted-key order; returns
+    (step_fn: (params, grads) -> new params)."""
+    opt = AdamState([params[k] for k in sorted(params)], lr=lr)
+
+    def step(params, grads):
+        ks = sorted(params)
+        new = opt.step([params[k] for k in ks], [grads[k] for k in ks])
+        return dict(zip(ks, new))
+
+    return step
+
+
 def distributed_loss_grads(feats_ds, params):
     """One synchronous data-parallel gradient pass: params broadcast
     via ray.put, per-batch float64 loss/grad SUMS emitted as one
@@ -401,17 +428,8 @@ def train_s3m_head(
         num_cpus=1,
     ).materialize()
 
-    def split(want_val: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            m = batch.column("is_val")
-            return batch.filter(m if want_val else pc.invert(m))
-
-        return feats.map_batches(f, batch_format="pyarrow")
-
-    train_ds = split(False)
-    val_ds = split(True)
+    train_ds = _split_val(feats, False)
+    val_ds = _split_val(feats, True)
     n_train = train_ds.count()
 
     model = S3MNumpy(seed=seed)
@@ -621,17 +639,8 @@ def train_s3m_full(
         num_cpus=1,
     ).materialize()
 
-    def split(want_val: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            m = batch.column("is_val")
-            return batch.filter(m if want_val else pc.invert(m))
-
-        return toks.map_batches(f, batch_format="pyarrow")
-
-    train_ds = split(False)
-    val_ds = split(True)
+    train_ds = _split_val(toks, False)
+    val_ds = _split_val(toks, True)
     n_train = train_ds.count()
 
     trainable = S3MTrainable(seed=seed)
@@ -639,12 +648,7 @@ def train_s3m_full(
     init_flat = flatten_params(params).copy()
 
     losses: list[float] = []
-    opt = AdamState([params[k] for k in sorted(params)], lr=lr)
-
-    def opt_step(params, grads):
-        ks = sorted(params)
-        new = opt.step([params[k] for k in ks], [grads[k] for k in ks])
-        return dict(zip(ks, new))
+    opt_step = _dict_opt_stepper(params, lr)
 
     use_driver = (n_train <= driver_gate) and not force_distributed
     if use_driver:
@@ -915,17 +919,8 @@ def train_rerank_encoder(
         num_cpus=1,
     ).materialize()
 
-    def split(want_val: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            m = batch.column("is_val")
-            return batch.filter(m if want_val else pc.invert(m))
-
-        return pairs.map_batches(f, batch_format="pyarrow")
-
-    train_ds = split(False)
-    val_ds = split(True)
+    train_ds = _split_val(pairs, False)
+    val_ds = _split_val(pairs, True)
     n_train = train_ds.count()
 
     trainable = LSTMCrossEncoderTrainable(seed=P5PairPrepStage.CROSS_SEED)
@@ -933,12 +928,7 @@ def train_rerank_encoder(
     init_flat = p5_flatten(params).copy()
 
     losses: list[float] = []
-    opt = AdamState([params[k] for k in sorted(params)], lr=lr)
-
-    def opt_step(params, grads):
-        ks = sorted(params)
-        new = opt.step([params[k] for k in ks], [grads[k] for k in ks])
-        return dict(zip(ks, new))
+    opt_step = _dict_opt_stepper(params, lr)
 
     use_driver = (n_train <= driver_gate) and not force_distributed
     if use_driver:
@@ -1102,17 +1092,8 @@ def train_bi_encoder(
         num_cpus=1,
     ).materialize()
 
-    def split(want_val: bool):
-        def f(batch: pa.Table) -> pa.Table:
-            import pyarrow.compute as pc
-
-            m = batch.column("is_val")
-            return batch.filter(m if want_val else pc.invert(m))
-
-        return toks.map_batches(f, batch_format="pyarrow")
-
-    train_ds = split(False)
-    val_ds = split(True)
+    train_ds = _split_val(toks, False)
+    val_ds = _split_val(toks, True)
     n_train = train_ds.count()
 
     trainable = BiEncoderTrainable()
@@ -1126,12 +1107,7 @@ def train_bi_encoder(
     init_flat = bi_flatten(params).copy()
 
     losses: list[float] = []
-    opt = AdamState([params[k] for k in sorted(params)], lr=lr)
-
-    def opt_step(params, grads):
-        ks = sorted(params)
-        new = opt.step([params[k] for k in ks], [grads[k] for k in ks])
-        return dict(zip(ks, new))
+    opt_step = _dict_opt_stepper(params, lr)
 
     use_driver = (n_train <= driver_gate) and not force_distributed
     if use_driver:
