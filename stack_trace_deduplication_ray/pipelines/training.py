@@ -75,6 +75,37 @@ TRAIN_SEED = 0x53334D  # same family as the inference singleton
 _FEAT_DIM = 129  # 2*(2*hidden) + 1 at the default hidden=32
 
 
+def _model_ckpt_dir(sf_dir: str) -> str:
+    """Per-input trained-model checkpoint directory under /tmp —
+    the T9 caching pattern applied to training: queries that need the
+    same (trainer, knobs, input) model share one training run."""
+    import hashlib
+
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join("/tmp/stack_dedup_models", tag)
+
+
+def _train_code_hash() -> str:
+    """Hash of the training-code sources; rides in the checkpoint
+    fingerprint so ANY edit to the trainers invalidates cached
+    params."""
+    import hashlib
+
+    from stack_trace_deduplication_ray.functions import (
+        neural,
+        neural_train,
+        word2vec,
+    )
+
+    h = hashlib.sha256()
+    for mod in (neural, neural_train, word2vec):
+        with open(mod.__file__, "rb") as f:
+            h.update(f.read())
+    with open(__file__, "rb") as f:
+        h.update(f.read())
+    return h.hexdigest()[:16]
+
+
 def _fixture_labeled_captions(sf_dir: str):
     """(image_id, caption, cluster_id) dataset from the deterministic
     synthetic fixture — the labeled-duplicate-groups table that plays
@@ -716,12 +747,25 @@ def train_s3m_full(
     return {"params": params, "metrics": metrics}
 
 
+def _cached(trainer_fn, sf_dir: str, name: str, **knobs):
+    """train_cached with the per-input /tmp dir and the code-hash
+    fingerprint; returns the trainer's {"params", "metrics"} shape."""
+    from stack_trace_deduplication_ray.state.model_store import (
+        train_cached,
+    )
+
+    return train_cached(
+        trainer_fn, sf_dir, _model_ckpt_dir(sf_dir), name,
+        extra=_train_code_hash(), **knobs,
+    )
+
+
 def train_s3m_full_metrics(sf_dir: str):
     """queries() entry (rows-only): full-model BPTT fine-tune on the
     labeled fixture, held-out separation before/after."""
     from stack_trace_deduplication_ray.eval.metrics import metrics_table
 
-    res = train_s3m_full(sf_dir)
+    res = _cached(train_s3m_full, sf_dir, "s3m_full", steps=30, lr=0.01)
     return metrics_table(res["metrics"])
 
 
@@ -1186,7 +1230,7 @@ def train_bi_encoder_metrics(sf_dir: str):
     held-out cosine separation before/after."""
     from stack_trace_deduplication_ray.eval.metrics import metrics_table
 
-    res = train_bi_encoder(sf_dir, steps=15, lr=0.02)
+    res = _cached(train_bi_encoder, sf_dir, "bi_encoder", steps=15, lr=0.02)
     return metrics_table(res["metrics"])
 
 
@@ -1240,7 +1284,7 @@ def trained_embedding_ann(sf_dir: str, steps: int = 15, lr: float = 0.02):
     from stack_trace_deduplication_ray.eval.metrics import metrics_table
 
     cfg = DEFAULT_CONFIG
-    res = train_bi_encoder(sf_dir, steps=steps, lr=lr)
+    res = _cached(train_bi_encoder, sf_dir, "bi_encoder", steps=steps, lr=lr)
     trained_ref = ray.put(res["params"])
 
     labeled, _ = _fixture_labeled_captions(sf_dir)
@@ -1342,7 +1386,9 @@ def train_rerank_encoder_metrics(sf_dir: str):
     fast); the longer default schedule is for library callers."""
     from stack_trace_deduplication_ray.eval.metrics import metrics_table
 
-    res = train_rerank_encoder(sf_dir, steps=8, lr=0.02)
+    res = _cached(
+        train_rerank_encoder, sf_dir, "rerank_encoder", steps=8, lr=0.02
+    )
     return metrics_table(res["metrics"])
 
 
@@ -1469,7 +1515,7 @@ def trained_retrieval_metrics(sf_dir: str, steps: int = 30, lr: float = 0.01):
     from stack_trace_deduplication_ray.eval.metrics import metrics_table
 
     cfg = DEFAULT_CONFIG
-    res = train_s3m_full(sf_dir, steps=steps, lr=lr)
+    res = _cached(train_s3m_full, sf_dir, "s3m_full", steps=steps, lr=lr)
     pairs = _retrieval_eval_pairs(sf_dir, cfg).materialize()
     trained_ref = ray.put(res["params"])
 

@@ -39,9 +39,17 @@ def params_fingerprint(trainer: str, knobs: dict, input_id: str = "") -> str:
     return hashlib.sha256(blob.encode()).hexdigest()[:16]
 
 
-def save_params(path: str, params: dict[str, np.ndarray], fingerprint: str = "") -> None:
+def save_params(
+    path: str,
+    params: dict[str, np.ndarray],
+    fingerprint: str = "",
+    metrics: dict | None = None,
+) -> None:
     """Write a named-parameter dict as one parquet file (atomic via
-    tmp+rename so a crashed writer never leaves a readable half)."""
+    tmp+rename so a crashed writer never leaves a readable half).
+    `metrics` (a flat float dict, e.g. the training run's eval
+    numbers) rides in the manifest so a checkpoint hit can report the
+    original run's quality."""
     names, shapes, datas = [], [], []
     for k in sorted(params):
         a = np.asarray(params[k], dtype=np.float64)
@@ -49,7 +57,9 @@ def save_params(path: str, params: dict[str, np.ndarray], fingerprint: str = "")
         shapes.append(json.dumps(list(a.shape)))
         datas.append(a.reshape(-1))
     names.append(_MANIFEST_KEY)
-    shapes.append(json.dumps({"fingerprint": fingerprint}))
+    shapes.append(
+        json.dumps({"fingerprint": fingerprint, "metrics": metrics})
+    )
     datas.append(np.empty(0, dtype=np.float64))
     t = pa.table(
         {
@@ -64,24 +74,29 @@ def save_params(path: str, params: dict[str, np.ndarray], fingerprint: str = "")
     os.replace(tmp, path)
 
 
-def load_params(path: str) -> tuple[dict[str, np.ndarray], str]:
-    """Read back (params dict, stored fingerprint). Bit-exact for the
-    float64 training dtype."""
+def load_params(
+    path: str,
+) -> tuple[dict[str, np.ndarray], str, dict | None]:
+    """Read back (params dict, stored fingerprint, stored metrics).
+    Bit-exact for the float64 training dtype."""
     t = pq.read_table(path)
     params: dict[str, np.ndarray] = {}
     fingerprint = ""
+    metrics = None
     for name, shape, data in zip(
         t.column("name").to_pylist(),
         t.column("shape").to_pylist(),
         t.column("data").to_pylist(),
     ):
         if name == _MANIFEST_KEY:
-            fingerprint = json.loads(shape).get("fingerprint", "")
+            man = json.loads(shape)
+            fingerprint = man.get("fingerprint", "")
+            metrics = man.get("metrics")
             continue
         params[name] = np.asarray(data, dtype=np.float64).reshape(
             json.loads(shape)
         )
-    return params, fingerprint
+    return params, fingerprint, metrics
 
 
 def train_cached(
@@ -89,16 +104,21 @@ def train_cached(
     sf_dir: str,
     checkpoint_dir: str,
     trainer_name: str,
+    extra: str = "",
     **knobs,
 ):
     """Checkpointed training: ``trainer_fn(sf_dir, **knobs)`` must
     return ``{"params": dict[str, ndarray], "metrics": ...}`` (the
     contract of train_s3m_full / train_rerank_encoder /
     train_bi_encoder). A prior checkpoint with the same
-    (trainer_name, knobs, sf_dir) fingerprint short-circuits the
-    whole training run; the returned dict carries ``checkpoint_hit``
-    and, on a fresh run, the training metrics."""
-    fp = params_fingerprint(trainer_name, dict(knobs), input_id=sf_dir)
+    (trainer_name, knobs, extra, sf_dir) fingerprint short-circuits
+    the whole training run; the returned dict carries
+    ``checkpoint_hit`` and the training metrics (from the manifest on
+    a hit). `extra` rides only in the fingerprint — callers pass a
+    code hash there so edits to the training code invalidate."""
+    fp = params_fingerprint(
+        trainer_name, {**knobs, "__extra": extra}, input_id=sf_dir
+    )
     path = os.path.join(checkpoint_dir, f"{trainer_name}.parquet")
     fresh: dict = {}
 
@@ -107,11 +127,13 @@ def train_cached(
         fresh["metrics"] = res.get("metrics")
         return res["params"]
 
-    params, hit = run_or_load(path, fp, thunk)
+    params, hit, stored_metrics = run_or_load(
+        path, fp, thunk, metrics_of=lambda: fresh.get("metrics")
+    )
     return {
         "params": params,
         "checkpoint_hit": hit,
-        "metrics": fresh.get("metrics"),
+        "metrics": fresh.get("metrics") if not hit else stored_metrics,
     }
 
 
@@ -119,17 +141,21 @@ def run_or_load(
     path: str,
     fingerprint: str,
     thunk,
-) -> tuple[dict[str, np.ndarray], bool]:
+    metrics_of=None,
+) -> tuple[dict[str, np.ndarray], bool, dict | None]:
     """Load `path` when it exists with a matching fingerprint, else
-    run `thunk() -> params dict`, persist, and return it. Second
-    element: True when the checkpoint was hit."""
+    run `thunk() -> params dict`, persist (with `metrics_of()` if
+    given), and return it. Returns (params, hit, stored metrics)."""
     if os.path.exists(path):
         try:
-            params, fp = load_params(path)
+            params, fp, metrics = load_params(path)
             if fp == fingerprint:
-                return params, True
+                return params, True, metrics
         except (OSError, pa.ArrowInvalid, json.JSONDecodeError, KeyError):
             pass  # unreadable/foreign file -> retrain and overwrite
     params = thunk()
-    save_params(path, params, fingerprint)
-    return params, False
+    save_params(
+        path, params, fingerprint,
+        metrics=metrics_of() if metrics_of else None,
+    )
+    return params, False, None

@@ -30,7 +30,7 @@ def test_roundtrip_bit_exact(tmp_path):
     p = _params(np.random.default_rng(1))
     path = str(tmp_path / "m.parquet")
     save_params(path, p, "fp123")
-    back, fp = load_params(path)
+    back, fp, _ = load_params(path)
     assert fp == "fp123"
     assert set(back) == set(p)
     for k in p:
@@ -46,17 +46,17 @@ def test_run_or_load_hit_and_miss(tmp_path):
         calls.append(1)
         return _params(np.random.default_rng(2))
 
-    p1, hit1 = run_or_load(path, "fpA", thunk)
-    p2, hit2 = run_or_load(path, "fpA", thunk)
+    p1, hit1, _ = run_or_load(path, "fpA", thunk)
+    p2, hit2, _ = run_or_load(path, "fpA", thunk)
     assert (hit1, hit2) == (False, True)
     assert len(calls) == 1
     for k in p1:
         assert np.array_equal(p1[k], p2[k])
     # different fingerprint -> retrain and overwrite
-    _, hit3 = run_or_load(path, "fpB", thunk)
+    _, hit3, _ = run_or_load(path, "fpB", thunk)
     assert not hit3
     assert len(calls) == 2
-    _, fp = load_params(path)
+    _, fp, _ = load_params(path)
     assert fp == "fpB"
 
 
@@ -72,9 +72,11 @@ def test_corrupt_checkpoint_falls_back_to_retrain(tmp_path):
     path = str(tmp_path / "m.parquet")
     with open(path, "w") as f:
         f.write("not parquet")
-    p, hit = run_or_load(path, "fp", lambda: _params(np.random.default_rng(3)))
+    p, hit, _ = run_or_load(
+        path, "fp", lambda: _params(np.random.default_rng(3))
+    )
     assert not hit
-    back, fp = load_params(path)  # overwritten with a valid file
+    back, fp, _ = load_params(path)  # overwritten with a valid file
     assert fp == "fp"
 
 
@@ -93,6 +95,9 @@ def test_train_cached_short_circuits_real_trainer(ray_session, tmp_path):
         train_bi_encoder, SF, d, "bi_encoder", steps=3, lr=0.02
     )
     assert r2["checkpoint_hit"]
+    # metrics survive the checkpoint hit via the manifest
+    assert r2["metrics"] is not None
+    assert r2["metrics"]["steps"] == r1["metrics"]["steps"]
     for k in r1["params"]:
         assert np.array_equal(r1["params"][k], r2["params"][k])
     # a knob change invalidates
