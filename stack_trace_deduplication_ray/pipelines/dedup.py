@@ -123,88 +123,67 @@ def _apply_labels_with_names(id_map, labels, cfg: DedupConfig):
     keys, roots = keys[order], roots[order]
     ref = ray.put((keys, roots))
 
-    @ray.remote(num_cpus=0)
-    class _TouchedCollector:
-        """Accumulates the touched (iid, orig) rows — the orig side
-        stays an ARROW string array end to end (never boxed to Python
-        objects; the round-4 2M profile measured the boxed
-        to_pylist + pandas object-min path at 10-23 s of driver time
-        vs ~0.3 s for the Arrow kernels). Content is deduplicated by
-        iid at collect time, so map-task retries (which resend
-        identical content) are harmless."""
-
-        def __init__(self):
-            self._iids = []
-            self._origs = []
-
-        def add(self, iids, origs):
-            self._iids.append(iids)
-            self._origs.append(origs)
-
-        def n_unique(self) -> int:
-            """Distinct touched iids received so far — the driver's
-            completion barrier (every touched iid occurs exactly once
-            in the id map, so complete == len(labels))."""
-            if not self._iids:
-                return 0
-            return int(np.unique(np.concatenate(self._iids)).size)
-
-        def collect(self):
-            if not self._iids:
-                return np.empty(0, np.int64), pa.array([], type=pa.string())
-            ii = np.concatenate(self._iids)
-            oo = pa.concat_arrays(
-                [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
-                 for a in self._origs]
-            )
-            _, first = np.unique(ii, return_index=True)
-            return ii[first], oo.take(pa.array(first))
-
-    collector = _TouchedCollector.remote()
-
-    def emit_singletons(batch: pa.Table) -> pa.Table:
+    # One tagged map wave, no side channel: every row emits
+    # (image_id=orig, cluster_id=orig, __iid) where __iid is the
+    # internal id for TOUCHED rows and -1 for singletons. The
+    # materialized tagged table then splits by filter — the touched
+    # rows (driver-sized by construction: one per labels entry) pull
+    # to the driver as Arrow, the singleton stream drops the tag.
+    # This replaces the round-4 collector-actor side channel: rows
+    # ride Ray's own task outputs, so delivery is exactly the
+    # dataset's fault-tolerance story (no fire-and-forget message to
+    # lose, no completion barrier to poll); the orig side stays an
+    # ARROW string array end to end (the boxed to_pylist + pandas
+    # object-min path measured 10-23 s of driver time at 2M vs ~0.3 s
+    # for the Arrow kernels).
+    def tag_touched(batch: pa.Table) -> pa.Table:
         k, _ = ray.get(ref)
         iids = batch.column("image_id").to_numpy(zero_copy_only=False)
         pos = np.searchsorted(k, iids)
         pos_c = np.minimum(pos, len(k) - 1)
         hit = k[pos_c] == iids
         orig = batch.column("orig_id")
-        if hit.any():
-            # fire-and-forget: no per-batch round-trip through the
-            # single collector mailbox (at 32+ CPUs the blocking
-            # ray.get serialized every map task's add; on a wide
-            # cluster that RTT becomes a per-batch latency term).
-            # Delivery is awaited below by COUNT, not per call.
-            collector.add.remote(
-                iids[hit],
-                orig.filter(pa.array(hit)).combine_chunks(),
-            )
-            orig = orig.filter(pa.array(~hit))
-        return pa.table({"image_id": orig, "cluster_id": orig})
+        return pa.table(
+            {
+                "image_id": orig,
+                "cluster_id": orig,
+                "__iid": pa.array(np.where(hit, iids, -1)),
+            }
+        )
 
-    singles = id_map.map_batches(
-        emit_singletons, batch_format="pyarrow"
-    ).materialize()  # barrier: every map task has SUBMITTED its adds
+    tagged = id_map.map_batches(
+        tag_touched, batch_format="pyarrow"
+    ).materialize()
 
-    # completeness barrier for the in-flight fire-and-forget adds:
-    # every touched iid occurs exactly once in the id map, so the
-    # collector is complete exactly when its distinct-iid count
-    # reaches len(keys); map-task retries only resend duplicates
-    # (deduplicated at collect). Poll instead of per-batch ray.get —
-    # the touched volume is driver-sized, so n_unique is cheap.
-    import time as _time
+    def only_singles(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
 
-    deadline = _time.time() + 300.0
-    while ray.get(collector.n_unique.remote()) < len(keys):
-        if _time.time() > deadline:
-            raise RuntimeError(
-                "touched-row collector incomplete after map wave "
-                "(lost fire-and-forget actor message?)"
-            )
-        _time.sleep(0.02)
+        m = pc.equal(batch.column("__iid"), -1)
+        return batch.filter(m).drop_columns(["__iid"])
 
-    ii, oo = ray.get(collector.collect.remote())
-    ray.kill(collector)
+    def only_touched(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        m = pc.not_equal(batch.column("__iid"), -1)
+        return batch.filter(m).select(["__iid", "image_id"])
+
+    singles = tagged.map_batches(only_singles, batch_format="pyarrow")
+
+    ii_parts, oo_parts = [], []
+    for b in tagged.map_batches(
+        only_touched, batch_format="pyarrow"
+    ).iter_batches(batch_size=262_144, batch_format="pyarrow"):
+        ii_parts.append(b.column("__iid").to_numpy(zero_copy_only=False))
+        oo_parts.append(b.column("image_id").combine_chunks())
+    if ii_parts:
+        ii = np.concatenate(ii_parts)
+        oo = pa.concat_arrays(
+            [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a
+             for a in oo_parts]
+        )
+    else:
+        ii = np.empty(0, np.int64)
+        oo = pa.array([], type=pa.string())
     root_of = roots[np.searchsorted(keys, ii)]  # exact hits by construction
     # component name = MIN original id over members: Arrow hash-min on
     # the string column (C++), then an Arrow take per member row
@@ -351,7 +330,7 @@ def _filtered_expansion(build_fn, allow_ref):
 
 
 def build_edges(
-    images_ds, sigs, cfg: DedupConfig, has_image: bool, ckpt=None,
+    sigs, cfg: DedupConfig, has_image: bool, ckpt=None,
     expansion_filters: dict | None = None,
 ):
     """Run the fused collapse + candidate + verify phases, union the
@@ -550,7 +529,7 @@ def run_dedup(
         from stack_trace_deduplication_ray.config import coalesce_for_table
 
         cfg = coalesce_for_table(cfg, sigs.count(), sigs.num_blocks())
-        edges, stats = build_edges(images_ds, sigs, cfg, has_image, ckpt=ckpt)
+        edges, stats = build_edges(sigs, cfg, has_image, ckpt=ckpt)
         edges = edges.materialize()
         stats = extra_stats + stats
     # id map source: the MATERIALIZED signature table when available

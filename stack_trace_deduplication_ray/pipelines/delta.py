@@ -519,7 +519,7 @@ def run_dedup_delta(
             if name in ("minhash", "simhash", "substring")
         }
         edges_new, build_stats = build_edges(
-            None, union_sigs, cfg_work, has_image,
+            union_sigs, cfg_work, has_image,
             expansion_filters=expansion_filters,
         )
         edges_new = edges_new.materialize()

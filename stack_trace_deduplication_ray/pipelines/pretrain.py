@@ -55,42 +55,36 @@ DIM = 32
 def skipgram_pair_dataset(sf_dir: str, window: int = 2):
     """(center, context) pair dataset + unigram count vector from the
     fixture captions. Pairs are the distributed working set; counts
-    come back as per-batch bincount partials."""
+    run as their own partial-aggregate pass (one fixed-width row per
+    batch) — a batch whose captions are all too short for the window
+    still contributes its token counts, which a counts-ride-on-pairs
+    scheme would silently drop."""
     labeled, _ = _fixture_labeled_captions(sf_dir)
 
     def pairs(batch: pa.Table) -> pa.Table:
         seqs = token_ids_batch(batch.column("caption").to_pylist(), VOCAB)
         c, o = skipgram_pairs(seqs, window)
+        return pa.table({"center": pa.array(c), "context": pa.array(o)})
+
+    def count_partial(batch: pa.Table) -> pa.Table:
+        seqs = token_ids_batch(batch.column("caption").to_pylist(), VOCAB)
         counts = np.zeros(VOCAB, dtype=np.int64)
         for s in seqs:
             counts += np.bincount(s, minlength=VOCAB)
         return pa.table(
-            {
-                "center": pa.array(c),
-                "context": pa.array(o),
-                # counts partial rides the first row of each batch
-                # output (empty list elsewhere) — one pass, no second
-                # corpus read
-                "counts": pa.array(
-                    [counts.tolist()] + [[]] * (len(c) - 1)
-                    if len(c) > 0
-                    else [],
-                    type=pa.list_(pa.int64()),
-                ),
-            }
+            {"counts": pa.array([counts.tolist()], type=pa.list_(pa.int64()))}
         )
 
+    labeled = labeled.materialize()
     ds = labeled.map_batches(pairs, batch_format="pyarrow").materialize()
 
     counts = np.zeros(VOCAB, dtype=np.int64)
-    for b in ds.select_columns(["counts"]).iter_batches(
-        batch_size=8192, batch_format="pyarrow"
-    ):
+    for b in labeled.map_batches(
+        count_partial, batch_format="pyarrow"
+    ).iter_batches(batch_size=8192, batch_format="pyarrow"):
         for row in b.column("counts"):
-            v = row.values
-            if len(v):
-                counts += np.asarray(v.to_numpy(zero_copy_only=False))
-    return ds.select_columns(["center", "context"]), counts
+            counts += np.asarray(row.values.to_numpy(zero_copy_only=False))
+    return ds, counts
 
 
 def _pair_split(c: np.ndarray, o: np.ndarray, seed: int):
@@ -106,48 +100,26 @@ def _pair_split(c: np.ndarray, o: np.ndarray, seed: int):
 def distributed_sgns_grads(pair_ds, cdf_ref, params_ref, k_neg, seed):
     """One synchronous SGNS gradient pass: per-batch dense partials
     (2 x vocab x dim float64), deterministic by construction (hash
-    negatives), sorted-key driver sum."""
+    negatives), through the shared _grad_pass harness."""
+    from stack_trace_deduplication_ray.pipelines.training import _grad_pass
 
-    def partial(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "key": pa.array([], type=pa.uint64()),
-                    "loss": pa.array([], type=pa.float64()),
-                    "n": pa.array([], type=pa.int64()),
-                    "grad": pa.array([], type=pa.list_(pa.float64())),
-                }
-            )
+    def compute(batch: pa.Table):
         Vin, Vout = ray.get(params_ref)
         cdf = ray.get(cdf_ref)
         c = batch.column("center").to_numpy().astype(np.int64)
         o = batch.column("context").to_numpy().astype(np.int64)
         neg = draw_negatives(c, o, cdf, k_neg, seed)
         loss, gi, go = sgns_loss_and_grads(c, o, neg, Vin, Vout)
-        flat = np.concatenate([gi.reshape(-1), go.reshape(-1)])
-        key = H.hash_bytes_arrays([flat.tobytes()])[:1]
-        return pa.table(
-            {
-                "key": pa.array(key),
-                "loss": pa.array([loss]),
-                "n": pa.array([len(c)], type=pa.int64()),
-                "grad": pa.array([flat.tolist()], type=pa.list_(pa.float64())),
-            }
-        )
+        return loss, len(c), np.concatenate([gi.reshape(-1), go.reshape(-1)])
 
-    parts = pair_ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=65536
-    ).to_pandas()
-    parts = parts.sort_values("key", kind="stable")
-    n = int(parts["n"].sum())
-    loss = float(parts["loss"].sum()) / max(n, 1)
-    flat = np.zeros(2 * VOCAB * DIM, dtype=np.float64)
-    for g in parts["grad"]:
-        flat += np.asarray(g, dtype=np.float64)
-    flat /= max(n, 1)
-    return loss, flat[: VOCAB * DIM].reshape(VOCAB, DIM), flat[
-        VOCAB * DIM :
-    ].reshape(VOCAB, DIM)
+    loss, flat = _grad_pass(
+        pair_ds, compute, 2 * VOCAB * DIM, batch_size=65536
+    )
+    return (
+        loss,
+        flat[: VOCAB * DIM].reshape(VOCAB, DIM),
+        flat[VOCAB * DIM :].reshape(VOCAB, DIM),
+    )
 
 
 def pretrain_skipgram(

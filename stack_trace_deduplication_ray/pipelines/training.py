@@ -333,6 +333,48 @@ def _batch_xy(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
     return x, y
 
 
+def _grad_pass(ds, compute, flat_size: int, batch_size: int = 1024):
+    """The shared distributed-gradient harness: one ``map_batches``
+    pass where ``compute(batch) -> (loss_sum, n, flat_grad float64)``
+    emits a fixed-width partial row per batch, summed on the driver
+    in sorted-key order (deterministic at a given partitioning).
+    Returns (mean loss, mean flat gradient). Every distributed_*
+    trainer pass specializes this with its own compute callback."""
+
+    def partial(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table(
+                {
+                    "key": pa.array([], type=pa.uint64()),
+                    "loss": pa.array([], type=pa.float64()),
+                    "n": pa.array([], type=pa.int64()),
+                    "grad": pa.array([], type=pa.list_(pa.float64())),
+                }
+            )
+        loss, n, flat = compute(batch)
+        key = H.hash_bytes_arrays([flat.tobytes()])[:1]
+        return pa.table(
+            {
+                "key": pa.array(key),
+                "loss": pa.array([loss]),
+                "n": pa.array([n], type=pa.int64()),
+                "grad": pa.array([flat.tolist()], type=pa.list_(pa.float64())),
+            }
+        )
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size
+    ).to_pandas()
+    parts = parts.sort_values("key", kind="stable")
+    n = int(parts["n"].sum())
+    loss = float(parts["loss"].sum()) / max(n, 1)
+    flat = np.zeros(flat_size, dtype=np.float64)
+    for g in parts["grad"]:
+        flat += np.asarray(g, dtype=np.float64)
+    flat /= max(n, 1)
+    return loss, flat
+
+
 def _split_val(ds, want_val: bool):
     """is_val split as a batch filter (no per-row Python)."""
 
@@ -368,40 +410,13 @@ def distributed_loss_grads(feats_ds, params):
     shapes = [np.asarray(p).shape for p in params]
     sizes = [int(np.prod(s)) for s in shapes]
 
-    def partial(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "key": pa.array([], type=pa.uint64()),
-                    "loss": pa.array([], type=pa.float64()),
-                    "n": pa.array([], type=pa.int64()),
-                    "grad": pa.array([], type=pa.list_(pa.float64())),
-                }
-            )
+    def compute(batch: pa.Table):
         prm = ray.get(params_ref)
         x, y = _batch_xy(batch)
         loss, grads = head_loss_and_grads(x, y, prm)
-        flat = np.concatenate([g.reshape(-1) for g in grads])
-        key = H.hash_bytes_arrays([flat.tobytes()])[:1]
-        return pa.table(
-            {
-                "key": pa.array(key),
-                "loss": pa.array([loss]),
-                "n": pa.array([len(x)], type=pa.int64()),
-                "grad": pa.array([flat.tolist()], type=pa.list_(pa.float64())),
-            }
-        )
+        return loss, len(x), np.concatenate([g.reshape(-1) for g in grads])
 
-    parts = feats_ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=4096
-    ).to_pandas()
-    parts = parts.sort_values("key", kind="stable")
-    n = int(parts["n"].sum())
-    loss = float(parts["loss"].sum()) / max(n, 1)
-    flat = np.zeros(sum(sizes), dtype=np.float64)
-    for g in parts["grad"]:
-        flat += np.asarray(g, dtype=np.float64)
-    flat /= max(n, 1)
+    loss, flat = _grad_pass(feats_ds, compute, sum(sizes), batch_size=4096)
     grads, off = [], 0
     for s, sz in zip(shapes, sizes):
         grads.append(flat[off : off + sz].reshape(s))
@@ -592,43 +607,16 @@ def distributed_full_grads(tok_ds, trainable, params):
 
     params_ref = ray.put({k: np.asarray(v) for k, v in params.items()})
 
-    def partial(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "key": pa.array([], type=pa.uint64()),
-                    "loss": pa.array([], type=pa.float64()),
-                    "n": pa.array([], type=pa.int64()),
-                    "grad": pa.array([], type=pa.list_(pa.float64())),
-                }
-            )
+    def compute(batch: pa.Table):
         prm = ray.get(params_ref)
         sa, sb, y = _tok_batch_xy(batch)
         ids, lens, ia, ib = dedup_sides(sa, sb, trainable.max_len)
         loss, grads = trainable.loss_and_grads_indexed(
             ids, lens, ia, ib, y, params=prm
         )
-        flat = flatten_params(grads)
-        key = H.hash_bytes_arrays([flat.tobytes()])[:1]
-        return pa.table(
-            {
-                "key": pa.array(key),
-                "loss": pa.array([loss]),
-                "n": pa.array([len(y)], type=pa.int64()),
-                "grad": pa.array([flat.tolist()], type=pa.list_(pa.float64())),
-            }
-        )
+        return loss, len(y), flatten_params(grads)
 
-    parts = tok_ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=1024
-    ).to_pandas()
-    parts = parts.sort_values("key", kind="stable")
-    n = int(parts["n"].sum())
-    loss = float(parts["loss"].sum()) / max(n, 1)
-    flat = np.zeros(flatten_params(params).size, dtype=np.float64)
-    for g in parts["grad"]:
-        flat += np.asarray(g, dtype=np.float64)
-    flat /= max(n, 1)
+    loss, flat = _grad_pass(tok_ds, compute, flatten_params(params).size)
     return loss, unflatten_params(flat, params)
 
 
@@ -889,16 +877,7 @@ def distributed_p5_grads(pair_ds, trainable, params):
 
     params_ref = ray.put({k: np.asarray(v) for k, v in params.items()})
 
-    def partial(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "key": pa.array([], type=pa.uint64()),
-                    "loss": pa.array([], type=pa.float64()),
-                    "n": pa.array([], type=pa.int64()),
-                    "grad": pa.array([], type=pa.list_(pa.float64())),
-                }
-            )
+    def compute(batch: pa.Table):
         prm = ray.get(params_ref)
         (ia, la, fa), (ib, lb, fb), y = _p5_batch_tensors(
             batch, trainable.n_ctx
@@ -906,27 +885,9 @@ def distributed_p5_grads(pair_ds, trainable, params):
         loss, grads = trainable.loss_and_grads(
             ia, la, fa, ib, lb, fb, y, params=prm
         )
-        flat = p5_flatten(grads)
-        key = H.hash_bytes_arrays([flat.tobytes()])[:1]
-        return pa.table(
-            {
-                "key": pa.array(key),
-                "loss": pa.array([loss]),
-                "n": pa.array([len(y)], type=pa.int64()),
-                "grad": pa.array([flat.tolist()], type=pa.list_(pa.float64())),
-            }
-        )
+        return loss, len(y), p5_flatten(grads)
 
-    parts = pair_ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=1024
-    ).to_pandas()
-    parts = parts.sort_values("key", kind="stable")
-    n = int(parts["n"].sum())
-    loss = float(parts["loss"].sum()) / max(n, 1)
-    flat = np.zeros(p5_flatten(params).size, dtype=np.float64)
-    for g in parts["grad"]:
-        flat += np.asarray(g, dtype=np.float64)
-    flat /= max(n, 1)
+    loss, flat = _grad_pass(pair_ds, compute, p5_flatten(params).size)
     return loss, p5_unflatten(flat, params)
 
 
@@ -1057,16 +1018,7 @@ def distributed_bi_grads(tok_ds, trainable, params):
 
     params_ref = ray.put({k: np.asarray(v) for k, v in params.items()})
 
-    def partial(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table(
-                {
-                    "key": pa.array([], type=pa.uint64()),
-                    "loss": pa.array([], type=pa.float64()),
-                    "n": pa.array([], type=pa.int64()),
-                    "grad": pa.array([], type=pa.list_(pa.float64())),
-                }
-            )
+    def compute(batch: pa.Table):
         prm = ray.get(params_ref)
         a = [np.asarray(s, dtype=np.int64) for s in batch.column("a_ids").to_pylist()]
         b = [np.asarray(s, dtype=np.int64) for s in batch.column("p_ids").to_pylist()]
@@ -1075,27 +1027,9 @@ def distributed_bi_grads(tok_ds, trainable, params):
         loss, grads = trainable.loss_and_grads(
             ids_a, lens_a, ids_b, lens_b, params=prm
         )
-        flat = bi_flatten(grads)
-        key = H.hash_bytes_arrays([flat.tobytes()])[:1]
-        return pa.table(
-            {
-                "key": pa.array(key),
-                "loss": pa.array([loss]),
-                "n": pa.array([2 * len(a)], type=pa.int64()),
-                "grad": pa.array([flat.tolist()], type=pa.list_(pa.float64())),
-            }
-        )
+        return loss, 2 * len(a), bi_flatten(grads)
 
-    parts = tok_ds.map_batches(
-        partial, batch_format="pyarrow", batch_size=1024
-    ).to_pandas()
-    parts = parts.sort_values("key", kind="stable")
-    n = int(parts["n"].sum())
-    loss = float(parts["loss"].sum()) / max(n, 1)
-    flat = np.zeros(bi_flatten(params).size, dtype=np.float64)
-    for g in parts["grad"]:
-        flat += np.asarray(g, dtype=np.float64)
-    flat /= max(n, 1)
+    loss, flat = _grad_pass(tok_ds, compute, bi_flatten(params).size)
     return loss, bi_unflatten(flat, params)
 
 

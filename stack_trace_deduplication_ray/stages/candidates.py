@@ -88,8 +88,8 @@ def _edges_table(src, dst, stage, id_type: pa.DataType | None = None) -> pa.Tabl
     empty pandas object columns would degrade to Arrow null type and
     poison downstream schema unification). `stage` is one label for
     all rows or a per-row array; int stage values produce an int8
-    column (the fused path's exchange code, decoded to the public
-    string label by `decode_stage_codes` at the boundary); `id_type`
+    column (the fused path's exchange code; verify_fused maps codes
+    back to public string labels via its stage_names list); `id_type`
     pins the src/dst type (inferred from `src` when omitted;
     empty-and-unknown -> string)."""
     n = len(src)
@@ -149,24 +149,6 @@ def _pair_table(
             ),
         }
     )
-
-
-def decode_stage_codes(edges, names: list[str]):
-    """Map the int8 `stage` exchange codes back to the public string
-    labels (one cheap map pass over the small edge table; the heavy
-    exchanges upstream moved 1-byte codes instead of ~11-byte
-    strings)."""
-    lookup = np.asarray(names, dtype=object)
-
-    def fn(batch: pa.Table) -> pa.Table:
-        codes = batch.column("stage").to_numpy(zero_copy_only=False)
-        return batch.set_column(
-            batch.schema.get_field_index("stage"),
-            "stage",
-            pa.array(lookup[codes.astype(np.int64)], type=pa.string()),
-        )
-
-    return edges.map_batches(fn, batch_format="pyarrow")
 
 
 def _group_bounds(keys: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -628,7 +610,7 @@ def fused_pairs_from_buckets(
                     ),
                     # 1-byte exchange code, not the ~11-byte label:
                     # the candidate shuffle is the largest exchange in
-                    # the flagship (decode_stage_codes at the boundary)
+                    # the flagship (verify_fused restores the labels)
                     "stage": pa.array(np.full(n, code, dtype=np.int8)),
                 }
             )
