@@ -56,6 +56,24 @@ identical verify outcomes, so the verified pairs connect the same
 components either way. Proven byte-identical in
 tests/test_delta.py.
 
+ONE PRECISE CARVE-OUT — hot-bucket chain truncation: inside a bucket
+over `bucket_cap`, candidate generation is position-dependent (CHAIN
+pairs of consecutive members in iid-sort order), so a prior-prior
+pair that was consecutive in run A may stop being a full-run
+candidate when delta rows interleave — full(A∪B) relies on the
+replacement links (P1,D),(D,P2) instead, and if verify rejects both
+AND no other band/family pairs P1,P2, the from-scratch run loses a
+connection the delta run keeps. In that divergence the delta side is
+the better answer: the retained edge was VERIFIED true near-dup
+content; what differs is the full run's cap sampling, not the
+verdict. This is exactly the reference's accumulated-state semantics
+(event_state_model attach never re-litigates prior conclusions):
+delta connectivity ⊇ full connectivity, with every extra edge
+verify-passed. Equality is exact whenever no over-cap bucket has
+delta rows interleaving a previously-consecutive verified pair — in
+particular everywhere candidate generation is position-independent
+(all buckets ≤ bucket_cap).
+
 SCALE NOTES:
 - The delta key sets are driver-merged: O(|delta| x keys/row) int64
   values (a 1M-row delta at ~40 keys/row is ~320 MB — fine). For
@@ -156,7 +174,16 @@ def _family_extractors(cfg: DedupConfig, has_image: bool, sig_names):
     (pre stage-seed mixing; families are matched set-against-set so
     the seed mix cancels). Ordered cheapest-first: the touched filter
     short-circuits rows already matched before the winnowing
-    recompute."""
+    recompute.
+
+    DRIFT GUARD: these derivations must stay bit-identical to
+    stages/expand.py (expand_minhash's empty-caption drop,
+    expand_simhash's chunk/combo key scheme, expand_substring's
+    winnowing) — the touched-set completeness proof depends on it.
+    Any key-scheme change there MUST be mirrored here (and
+    stages/expand.py carries the reciprocal notice); the
+    full==delta equality tests in tests/test_delta.py exercise every
+    family and fail on divergence at fixture scale."""
     fams: list[tuple[str, object]] = []
 
     def one_per_row(col: str):

@@ -10,6 +10,11 @@ Each near-dup family contributes one expansion; all feed the shared
   caption windows (§7.1 step 5 — the scalable distributed form of the
   suffix-array repeated-substring pass; within-partition suffix
   arrays live in stages/substring.py)
+
+DRIFT GUARD: pipelines/delta._family_extractors re-derives these key
+incidences for the incremental touch filter and must stay
+bit-identical — mirror any key-scheme change there (the full==delta
+equality tests in tests/test_delta.py fail on divergence).
 """
 
 from __future__ import annotations
