@@ -224,12 +224,43 @@ def pretrain_skipgram(
     return {"Vin": Vin, "Vout": Vout, "metrics": metrics}
 
 
+def pretrain_skipgram_cached(sf_dir: str, **knobs):
+    """pretrain_skipgram through the trained-model checkpoint store
+    (state/model_store): the SGNS tables persist per (knobs, input,
+    code-hash) fingerprint, so the metrics query and the downstream
+    warm-start query share one pretraining run."""
+    from stack_trace_deduplication_ray.pipelines.training import (
+        _model_ckpt_dir,
+        _train_code_hash,
+    )
+    from stack_trace_deduplication_ray.state.model_store import (
+        train_cached,
+    )
+
+    def as_trainer(sf, **kw):
+        res = pretrain_skipgram(sf, **kw)
+        return {
+            "params": {"Vin": res["Vin"], "Vout": res["Vout"]},
+            "metrics": res["metrics"],
+        }
+
+    r = train_cached(
+        as_trainer, sf_dir, _model_ckpt_dir(sf_dir), "sgns",
+        extra=_train_code_hash(), **knobs,
+    )
+    return {
+        "Vin": r["params"]["Vin"],
+        "Vout": r["params"]["Vout"],
+        "metrics": r["metrics"],
+    }
+
+
 def pretrain_skipgram_metrics(sf_dir: str):
     """queries() entry (rows-only): SGNS pretraining, held-out
     co-occurrence separation before/after."""
     from stack_trace_deduplication_ray.eval.metrics import metrics_table
 
-    res = pretrain_skipgram(sf_dir)
+    res = pretrain_skipgram_cached(sf_dir)
     return metrics_table(res["metrics"])
 
 
@@ -253,7 +284,7 @@ def pretrained_init_benefit(sf_dir: str, steps: int = 6):
         train_bi_encoder,
     )
 
-    pre = pretrain_skipgram(sf_dir)
+    pre = pretrain_skipgram_cached(sf_dir)
     scratch = train_bi_encoder(sf_dir, steps=steps, lr=0.02)["metrics"]
     # scale pretrained vectors so their per-element std matches the
     # encoder's scratch init (N(0,1)) — word2vec vectors live at
