@@ -124,11 +124,13 @@ def _apply_labels_with_names(id_map, labels, cfg: DedupConfig):
     ref = ray.put((keys, roots))
 
     # One tagged map wave, no side channel: every row emits
-    # (image_id=orig, cluster_id=orig, __iid) where __iid is the
-    # internal id for TOUCHED rows and -1 for singletons. The
-    # materialized tagged table then splits by filter — the touched
-    # rows (driver-sized by construction: one per labels entry) pull
-    # to the driver as Arrow, the singleton stream drops the tag.
+    # (image_id=orig, cluster_id=orig, __iid, __touched). A boolean
+    # tag — NOT an in-band iid sentinel: internal ids span the full
+    # int64 space in non-exact mode, so no id value is safe to
+    # reserve. The materialized tagged table then splits by filter —
+    # the touched rows (driver-sized by construction: one per labels
+    # entry) pull to the driver as Arrow, the singleton stream drops
+    # the tag columns.
     # This replaces the round-4 collector-actor side channel: rows
     # ride Ray's own task outputs, so delivery is exactly the
     # dataset's fault-tolerance story (no fire-and-forget message to
@@ -147,7 +149,8 @@ def _apply_labels_with_names(id_map, labels, cfg: DedupConfig):
             {
                 "image_id": orig,
                 "cluster_id": orig,
-                "__iid": pa.array(np.where(hit, iids, -1)),
+                "__iid": pa.array(iids),
+                "__touched": pa.array(hit),
             }
         )
 
@@ -158,14 +161,13 @@ def _apply_labels_with_names(id_map, labels, cfg: DedupConfig):
     def only_singles(batch: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
 
-        m = pc.equal(batch.column("__iid"), -1)
-        return batch.filter(m).drop_columns(["__iid"])
+        m = pc.invert(batch.column("__touched").combine_chunks())
+        return batch.filter(m).drop_columns(["__iid", "__touched"])
 
     def only_touched(batch: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        m = pc.not_equal(batch.column("__iid"), -1)
-        return batch.filter(m).select(["__iid", "image_id"])
+        return batch.filter(
+            batch.column("__touched").combine_chunks()
+        ).select(["__iid", "image_id"])
 
     singles = tagged.map_batches(only_singles, batch_format="pyarrow")
 

@@ -54,37 +54,64 @@ DIM = 32
 
 def skipgram_pair_dataset(sf_dir: str, window: int = 2):
     """(center, context) pair dataset + unigram count vector from the
-    fixture captions. Pairs are the distributed working set; counts
-    run as their own partial-aggregate pass (one fixed-width row per
-    batch) — a batch whose captions are all too short for the window
-    still contributes its token counts, which a counts-ride-on-pairs
-    scheme would silently drop."""
+    fixture captions, in ONE tokenization pass: each batch appends a
+    sentinel row (center=-1 — token ids are non-negative by
+    construction, so -1 is reservable here) carrying its bincount
+    partial, emitted even when the batch yields zero pairs (all
+    captions shorter than the window). The returned dataset has the
+    sentinels filtered out; the counts accumulate on the driver."""
     labeled, _ = _fixture_labeled_captions(sf_dir)
+    counts_t = pa.list_(pa.int64())
 
     def pairs(batch: pa.Table) -> pa.Table:
         seqs = token_ids_batch(batch.column("caption").to_pylist(), VOCAB)
         c, o = skipgram_pairs(seqs, window)
-        return pa.table({"center": pa.array(c), "context": pa.array(o)})
-
-    def count_partial(batch: pa.Table) -> pa.Table:
-        seqs = token_ids_batch(batch.column("caption").to_pylist(), VOCAB)
         counts = np.zeros(VOCAB, dtype=np.int64)
         for s in seqs:
             counts += np.bincount(s, minlength=VOCAB)
         return pa.table(
-            {"counts": pa.array([counts.tolist()], type=pa.list_(pa.int64()))}
+            {
+                "center": pa.array(
+                    np.concatenate([c, np.array([-1], dtype=np.int64)])
+                ),
+                "context": pa.array(
+                    np.concatenate([o, np.array([0], dtype=np.int64)])
+                ),
+                "counts": pa.array(
+                    [[]] * len(c) + [counts.tolist()], type=counts_t
+                ),
+            }
         )
 
-    labeled = labeled.materialize()
-    ds = labeled.map_batches(pairs, batch_format="pyarrow").materialize()
+    tagged = labeled.map_batches(pairs, batch_format="pyarrow").materialize()
 
+    def only_sentinels(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(pc.equal(batch.column("center"), -1)).select(
+            ["counts"]
+        )
+
+    # the sentinel filter runs distributed; only ~one row per input
+    # batch reaches the driver
     counts = np.zeros(VOCAB, dtype=np.int64)
-    for b in labeled.map_batches(
-        count_partial, batch_format="pyarrow"
+    for b in tagged.map_batches(
+        only_sentinels, batch_format="pyarrow"
     ).iter_batches(batch_size=8192, batch_format="pyarrow"):
         for row in b.column("counts"):
             counts += np.asarray(row.values.to_numpy(zero_copy_only=False))
-    return ds, counts
+
+    def drop_sentinels(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return batch.filter(
+            pc.not_equal(batch.column("center"), -1)
+        ).select(["center", "context"])
+
+    return (
+        tagged.map_batches(drop_sentinels, batch_format="pyarrow"),
+        counts,
+    )
 
 
 def _pair_split(c: np.ndarray, o: np.ndarray, seed: int):

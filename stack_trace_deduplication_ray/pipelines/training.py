@@ -101,8 +101,15 @@ def _train_code_hash() -> str:
     for mod in (neural, neural_train, word2vec):
         with open(mod.__file__, "rb") as f:
             h.update(f.read())
-    with open(__file__, "rb") as f:
-        h.update(f.read())
+    # this module + every sibling pipeline that trains through the
+    # store (pretrain.py hosts the SGNS trainer; hashed by path to
+    # avoid a circular import)
+    for path in (
+        __file__,
+        os.path.join(os.path.dirname(__file__), "pretrain.py"),
+    ):
+        with open(path, "rb") as f:
+            h.update(f.read())
     return h.hexdigest()[:16]
 
 

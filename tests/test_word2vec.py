@@ -84,6 +84,33 @@ def test_init_embeddings_word2vec_style():
     assert (Vout == 0).all()
 
 
+def test_unigram_counts_complete(ray_session):
+    """The in-band sentinel scheme loses no counts: the noise counts
+    equal a direct recount of every caption's tokens, and no sentinel
+    leaks into the pair view."""
+    from stack_trace_deduplication_ray.functions.neural import (
+        token_ids_batch,
+    )
+    from stack_trace_deduplication_ray.pipelines.pretrain import (
+        VOCAB,
+        skipgram_pair_dataset,
+    )
+    from stack_trace_deduplication_ray.pipelines.training import (
+        _fixture_labeled_captions,
+    )
+
+    ds, counts = skipgram_pair_dataset(SF)
+    labeled, _ = _fixture_labeled_captions(SF)
+    expect = np.zeros(VOCAB, dtype=np.int64)
+    for b in labeled.iter_batches(batch_size=4096, batch_format="pyarrow"):
+        for s in token_ids_batch(b.column("caption").to_pylist(), VOCAB):
+            expect += np.bincount(s, minlength=VOCAB)
+    assert np.array_equal(counts, expect)
+    for b in ds.iter_batches(batch_size=8192, batch_format="pyarrow"):
+        c = b.column("center").to_numpy()
+        assert (c >= 0).all()
+
+
 def test_pretrain_improves_heldout_loss(ray_session):
     from stack_trace_deduplication_ray.pipelines.pretrain import (
         pretrain_skipgram,
