@@ -94,6 +94,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # siamese bi-encoder training (InfoNCE, in-batch negatives —
         # the reference's similarity-model branch) — rows-only
         "train_bi_encoder_metrics": training.train_bi_encoder_metrics,
+        # the GRU-cell variant (rnn_type="gru" / GRUEmb) — rows-only
+        "train_bi_encoder_gru_metrics": (
+            training.train_bi_encoder_gru_metrics
+        ),
         # indexing payoff: trained embeddings -> cosine 1-NN over the
         # corpus, same-cluster accuracy before vs after — rows-only
         "trained_embedding_ann": training.trained_embedding_ann,

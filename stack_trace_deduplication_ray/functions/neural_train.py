@@ -166,6 +166,91 @@ def _lstm_backward(ids_emb, lens, W, U, dh_final, cache, h, d_outs=None):
     return d_emb, dW, dU, db
 
 
+def _gru_forward_cached(ids_emb, lens, W, U, b, h, want_outs: bool = False):
+    """One GRU direction with caches for BPTT (the reference's GRUEmb
+    sibling of LSTMEmb, encoders/modules/rnn). Gate order (r, z, n) in
+    the stacked (d,3h)/(h,3h)/(3h) params; single-bias form
+    n = tanh(xW_n + r*(hU_n) + b_n) — torch's split hidden bias only
+    matters for bit-parity with torch, which this container cannot
+    have anyway. Masking semantics identical to the LSTM: padded
+    steps freeze the state."""
+    N, T, _ = ids_emb.shape
+    hs = np.zeros((N, h))
+    outs = np.zeros((N, T, h)) if want_outs else None
+    cache = []
+    for t in range(T):
+        active = (t < lens)[:, None].astype(np.float64)
+        x = ids_emb[:, t, :]
+        # gates: r, z from x/h; candidate n uses r-gated hidden term
+        ar = x @ W[:, :h] + hs @ U[:, :h] + b[:h]
+        az = x @ W[:, h : 2 * h] + hs @ U[:, h : 2 * h] + b[h : 2 * h]
+        r = _sigmoid(ar)
+        z = _sigmoid(az)
+        hu = hs @ U[:, 2 * h :]
+        an = x @ W[:, 2 * h :] + r * hu + b[2 * h :]
+        n = np.tanh(an)
+        h_new = (1 - z) * n + z * hs
+        cache.append((hs, r, z, n, hu, active))
+        hs = active * h_new + (1 - active) * hs
+        if want_outs:
+            outs[:, t, :] = active * h_new
+    return hs, outs, cache
+
+
+def _gru_backward(ids_emb, lens, W, U, dh_final, cache, h, d_outs=None):
+    """BPTT for one GRU direction (see _lstm_backward for the masking
+    discipline). Returns (d_emb, dW, dU, db)."""
+    N, T, d = ids_emb.shape
+    dW = np.zeros_like(W)
+    dU = np.zeros_like(U)
+    db = np.zeros(3 * h)
+    d_emb = np.zeros((N, T, d))
+    dh = dh_final.copy()
+    for t in range(T - 1, -1, -1):
+        h_prev, r, z, n, hu, active = cache[t]
+        dh_new = dh * active
+        if d_outs is not None:
+            dh_new = dh_new + d_outs[:, t, :] * active
+        dh_skip = dh * (1 - active)
+        # h' = (1-z)*n + z*h_prev
+        dn = dh_new * (1 - z)
+        dz = dh_new * (h_prev - n)
+        dh_prev = dh_new * z
+        dan = dn * (1 - n * n)
+        dr = dan * hu
+        dhu = dan * r
+        dar = dr * r * (1 - r)
+        daz = dz * z * (1 - z)
+        x = ids_emb[:, t, :]
+        dW[:, :h] += x.T @ dar
+        dW[:, h : 2 * h] += x.T @ daz
+        dW[:, 2 * h :] += x.T @ dan
+        dU[:, :h] += h_prev.T @ dar
+        dU[:, h : 2 * h] += h_prev.T @ daz
+        dU[:, 2 * h :] += h_prev.T @ dhu
+        db[:h] += dar.sum(axis=0)
+        db[h : 2 * h] += daz.sum(axis=0)
+        db[2 * h :] += dan.sum(axis=0)
+        d_emb[:, t, :] = (
+            dar @ W[:, :h].T + daz @ W[:, h : 2 * h].T + dan @ W[:, 2 * h :].T
+        )
+        dh = (
+            dh_prev
+            + dar @ U[:, :h].T
+            + daz @ U[:, h : 2 * h].T
+            + dhu @ U[:, 2 * h :].T
+            + dh_skip
+        )
+    return d_emb, dW, dU, db
+
+
+# rnn kind registry: (forward, backward, gates-per-cell)
+_RNN_KINDS = {
+    "lstm": (_lstm_forward_cached, _lstm_backward, 4),
+    "gru": (_gru_forward_cached, _gru_backward, 3),
+}
+
+
 def _reverse_padded(emb: np.ndarray, lens: np.ndarray) -> np.ndarray:
     N, T, _ = emb.shape
     idx = np.arange(T)[None, :]
@@ -267,21 +352,23 @@ def p5_unflatten(flat: np.ndarray, like: dict[str, np.ndarray]):
     return out
 
 
-def _text_enc_forward(ids, lens, flags, p, h):
-    """The LSTMEmb text encoder (encoders/modules/rnn/rnn.py:29-88)
-    forward with caches: token embedding (+ optional flag vector when
-    `flags`/`p["siv"]` are present) -> biLSTM -> ConcatAgg(final,
-    max, avg) -> mixture linear. Shared by the P5 cross-encoder and
-    the bi-encoder."""
+def _text_enc_forward(ids, lens, flags, p, h, rnn: str = "lstm"):
+    """The LSTMEmb/GRUEmb text encoder (encoders/modules/rnn/
+    rnn.py:29-88) forward with caches: token embedding (+ optional
+    flag vector when `flags`/`p["siv"]` are present) -> bi-RNN ->
+    ConcatAgg(final, max, avg) -> mixture linear. Shared by the P5
+    cross-encoder and the bi-encoder; `rnn` selects the cell (the
+    reference's rnn_type switch, texts/rnn.py:34-52)."""
+    fwd_fn, _, _ = _RNN_KINDS[rnn]
     emb = p["E"][ids]
     if flags is not None:
         emb = emb + flags[:, :, None] * p["siv"]
     emb[ids == PAD_ID] = 0.0
     emb_r = _reverse_padded(emb, lens)
-    hf, of, cf = _lstm_forward_cached(
+    hf, of, cf = fwd_fn(
         emb, lens, p["Wf"], p["Uf"], p["bf"], h, want_outs=True
     )
-    hb, ob, cb = _lstm_forward_cached(
+    hb, ob, cb = fwd_fn(
         emb_r, lens, p["Wb"], p["Ub"], p["bb"], h, want_outs=True
     )
     outs = np.concatenate([of, ob], axis=2)
@@ -298,11 +385,12 @@ def _text_enc_forward(ids, lens, flags, p, h):
     return e, state
 
 
-def _text_enc_backward(ids, lens, flags, p, h, state, de, grads):
+def _text_enc_backward(ids, lens, flags, p, h, state, de, grads, rnn: str = "lstm"):
     """Backward of `_text_enc_forward`: output-embedding gradient
     `de` -> pooling (max routes to the first argmax, avg spreads
-    1/len over valid steps) -> both LSTM directions -> embedding
+    1/len over valid steps) -> both RNN directions -> embedding
     scatter (+ flag-vector gradient when flags are present)."""
+    _, bwd_fn, _ = _RNN_KINDS[rnn]
     emb, emb_r, cf, cb, am, agg, valid = state
     grads["Wmix"] += agg.T @ de
     grads["bmix"] += de.sum(axis=0)
@@ -319,11 +407,11 @@ def _text_enc_backward(ids, lens, flags, p, h, state, de, grads):
         dmx,
     )
 
-    demb_f, dWf, dUf, dbf = _lstm_backward(
+    demb_f, dWf, dUf, dbf = bwd_fn(
         emb, lens, p["Wf"], p["Uf"], dh_final[:, :h], cf, h,
         d_outs=d_outs[:, :, :h],
     )
-    demb_r, dWb, dUb, dbb = _lstm_backward(
+    demb_r, dWb, dUb, dbb = bwd_fn(
         emb_r, lens, p["Wb"], p["Ub"], dh_final[:, h:], cb, h,
         d_outs=d_outs[:, :, h:],
     )
@@ -501,6 +589,7 @@ class BiEncoderTrainable:
         n_ctx: int = 48,
         seed: int = 0xB1E5C0,
         temp: float = 0.05,
+        rnn_type: str = "lstm",
     ):
         rng = np.random.default_rng(np.random.PCG64(seed))
         self.vocab_size = vocab_size
@@ -509,15 +598,17 @@ class BiEncoderTrainable:
         self.n_ctx = n_ctx
         self.seed = seed
         self.temp = temp
+        self.rnn_type = rnn_type
+        n_gates = _RNN_KINDS[rnn_type][2]
         E = rng.standard_normal((vocab_size, d_input))
         E[PAD_ID] = 0.0
         k = 1.0 / np.sqrt(hidden)
 
         def direction():
             return (
-                rng.uniform(-k, k, (d_input, 4 * hidden)),
-                rng.uniform(-k, k, (hidden, 4 * hidden)),
-                rng.uniform(-k, k, 4 * hidden),
+                rng.uniform(-k, k, (d_input, n_gates * hidden)),
+                rng.uniform(-k, k, (hidden, n_gates * hidden)),
+                rng.uniform(-k, k, n_gates * hidden),
             )
 
         Wf, Uf, bf = direction()
@@ -539,7 +630,9 @@ class BiEncoderTrainable:
         """L2-normalized document embeddings (the vectors an ANN
         index would hold)."""
         p = params if params is not None else self.params
-        e, _ = _text_enc_forward(ids, lens, None, p, self.hidden)
+        e, _ = _text_enc_forward(
+            ids, lens, None, p, self.hidden, rnn=self.rnn_type
+        )
         return e / np.maximum(
             np.linalg.norm(e, axis=1, keepdims=True), 1e-12
         )
@@ -561,8 +654,8 @@ class BiEncoderTrainable:
         h = self.hidden
         n = len(ids_a)
 
-        ea, sta = _text_enc_forward(ids_a, lens_a, None, p, h)
-        eb, stb = _text_enc_forward(ids_b, lens_b, None, p, h)
+        ea, sta = _text_enc_forward(ids_a, lens_a, None, p, h, rnn=self.rnn_type)
+        eb, stb = _text_enc_forward(ids_b, lens_b, None, p, h, rnn=self.rnn_type)
         e = np.concatenate([ea, eb], axis=0)  # (2n, D)
         norms = np.maximum(np.linalg.norm(e, axis=1, keepdims=True), 1e-12)
         z = e / norms
@@ -589,8 +682,12 @@ class BiEncoderTrainable:
         de = (dz - z * (z * dz).sum(axis=1, keepdims=True)) / norms
 
         grads = {k: np.zeros_like(v) for k, v in p.items()}
-        _text_enc_backward(ids_a, lens_a, None, p, h, sta, de[:n], grads)
-        _text_enc_backward(ids_b, lens_b, None, p, h, stb, de[n:], grads)
+        _text_enc_backward(
+            ids_a, lens_a, None, p, h, sta, de[:n], grads, rnn=self.rnn_type
+        )
+        _text_enc_backward(
+            ids_b, lens_b, None, p, h, stb, de[n:], grads, rnn=self.rnn_type
+        )
         grads["E"][PAD_ID] = 0.0
         return loss, grads
 

@@ -1049,6 +1049,7 @@ def train_bi_encoder(
     force_distributed: bool = False,
     cfg: DedupConfig | None = None,
     init_E: np.ndarray | None = None,
+    rnn_type: str = "lstm",
 ):
     """Train the siamese bi-encoder — the reference's similarity-model
     branch (train_model.py:146-153: RNNTextEncoder + cosine +
@@ -1081,7 +1082,7 @@ def train_bi_encoder(
     val_ds = _split_val(toks, True)
     n_train = train_ds.count()
 
-    trainable = BiEncoderTrainable()
+    trainable = BiEncoderTrainable(rnn_type=rnn_type)
     params = trainable.params
     if init_E is not None:
         # pretrained token embeddings (skip_gram_BOW.py:23-45 ->
@@ -1164,6 +1165,20 @@ def train_bi_encoder(
         "val_acc_trained": after["acc1"],
     }
     return {"params": params, "metrics": metrics}
+
+
+def train_bi_encoder_gru_metrics(sf_dir: str):
+    """queries() entry (rows-only): the GRU variant of the bi-encoder
+    (the reference's rnn_type="gru" switch, texts/rnn.py:34-52 +
+    GRUEmb) trained under the same InfoNCE schedule — the full
+    hand-derived GRU BPTT exercised end to end."""
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
+
+    res = _cached(
+        train_bi_encoder, sf_dir, "bi_encoder_gru",
+        steps=15, lr=0.02, rnn_type="gru",
+    )
+    return metrics_table(res["metrics"])
 
 
 def train_bi_encoder_metrics(sf_dir: str):

@@ -116,3 +116,63 @@ def test_bi_distributed_single_batch_matches_driver(ray_session):
     assert dst["distributed"] == 1.0
     # sf0.001 train split (~300 pairs) fits one 1024-row grad batch
     assert dst["loss_final"] == pytest.approx(drv["loss_final"], rel=1e-6)
+
+
+def test_gru_gradients_match_finite_differences():
+    """The GRU cell's hand-derived BPTT (reset/update gates, r-gated
+    candidate) against central finite differences."""
+    from stack_trace_deduplication_ray.functions.neural_train import (
+        bi_flatten,
+        bi_unflatten,
+    )
+
+    m = BiEncoderTrainable(
+        vocab_size=12, d_input=3, hidden=2, out_size=3, n_ctx=5, seed=8,
+        rnn_type="gru",
+    )
+    rng = np.random.default_rng(51)
+
+    def tb(n=4, T=5, vocab=12):
+        lens = rng.integers(1, T + 1, n)
+        ids = np.zeros((n, T), dtype=np.int64)
+        for i in range(n):
+            ids[i, : lens[i]] = rng.integers(4, vocab, lens[i])
+        return ids, lens
+
+    ids_a, lens_a = tb()
+    ids_b, lens_b = tb()
+    _, g = m.loss_and_grads(ids_a, lens_a, ids_b, lens_b)
+    fg = bi_flatten(g)
+    fp = bi_flatten(m.params)
+    eps = 1e-6
+    for j in np.linspace(0, len(fp) - 1, 60).astype(int):
+        q = fp.copy()
+        q[j] += eps
+        lp, _ = m.loss_and_grads(
+            ids_a, lens_a, ids_b, lens_b, params=bi_unflatten(q, m.params)
+        )
+        q[j] -= 2 * eps
+        lm, _ = m.loss_and_grads(
+            ids_a, lens_a, ids_b, lens_b, params=bi_unflatten(q, m.params)
+        )
+        assert (lp - lm) / (2 * eps) == pytest.approx(
+            fg[j], rel=3e-4, abs=1e-8
+        ), j
+    # pad invariance for the GRU masking
+    wide = np.concatenate([ids_a, np.zeros((4, 3), dtype=np.int64)], axis=1)
+    l1, g1 = m.loss_and_grads(ids_a, lens_a, ids_b, lens_b)
+    l2, g2 = m.loss_and_grads(wide, lens_a, ids_b, lens_b)
+    assert l1 == pytest.approx(l2, rel=1e-12)
+    for k in g1:
+        assert np.allclose(g1[k], g2[k], atol=1e-12), k
+
+
+def test_gru_bi_encoder_trains(ray_session):
+    from stack_trace_deduplication_ray.pipelines.training import (
+        train_bi_encoder,
+    )
+
+    m = train_bi_encoder(SF, steps=10, lr=0.02, rnn_type="gru")["metrics"]
+    assert m["loss_final"] < m["loss_initial"]
+    assert m["val_auc_trained"] > m["val_auc_untrained"]
+    assert m["val_auc_trained"] >= 0.9
