@@ -86,6 +86,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # learned scoring end-to-end: trained weights installed into
         # the serving actor pool, held-out Acc@1/MRR before vs after
         "trained_retrieval_metrics": training.trained_retrieval_metrics,
+        # the trained P5 RERANKER in the serving pool (what the
+        # reference trains its cross_enc branch for) — rows-only
+        "trained_rerank_metrics": training.trained_rerank_metrics,
         # P5 reranker training (token-level cross-encoder, the
         # reference's cross_enc branch) — rows-only
         "train_rerank_encoder_metrics": (

@@ -1460,6 +1460,75 @@ def _rank_metrics(scored_df: pd.DataFrame) -> dict:
     }
 
 
+class P5TrainedScorerStage:
+    """Actor-pool pair scorer for the P5 reranker carrying TRAINED
+    weights — the serving shape the reference trains its cross_enc
+    branch FOR (scoring_stage.py:127-135). Tokenization + cross-
+    feature flags computed per pair batch (pair-dependent, no doc
+    cache possible — rnn.py:63-103)."""
+
+    def __init__(self, params_ref=None, seed: int = 0xCE11):
+        from stack_trace_deduplication_ray.functions.neural_train import (
+            LSTMCrossEncoderTrainable,
+        )
+
+        self.model = LSTMCrossEncoderTrainable(seed=seed)
+        if params_ref is not None:
+            self.model.params = ray.get(params_ref)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return batch.append_column(
+                "score", pa.array([], type=pa.float64())
+            )
+        A, B = self.model.prepare_pairs(
+            batch.column("anchor").to_pylist(),
+            batch.column("candidate").to_pylist(),
+        )
+        s = self.model.logits(*A, *B)
+        return batch.append_column("score", pa.array(s.astype(np.float64)))
+
+
+def trained_rerank_metrics(sf_dir: str, steps: int = 8, lr: float = 0.02):
+    """queries() entry (rows-only): the reference's trained RERANKER
+    serving end to end — train the P5 token-level cross-encoder on
+    the train split (through the checkpoint store), install the
+    trained params into the rerank scoring actor pool, and rank
+    held-out candidate lists with the untrained and trained model.
+    Proxy: acc1_trained >> acc1_untrained."""
+    from stack_trace_deduplication_ray.eval.metrics import metrics_table
+
+    cfg = DEFAULT_CONFIG
+    res = _cached(
+        train_rerank_encoder, sf_dir, "rerank_encoder", steps=steps, lr=lr
+    )
+    pairs = _retrieval_eval_pairs(sf_dir, cfg).materialize()
+    trained_ref = ray.put(res["params"])
+
+    def score_with(params_ref):
+        return pairs.map_batches(
+            P5TrainedScorerStage,
+            fn_constructor_kwargs={"params_ref": params_ref},
+            batch_format="pyarrow",
+            batch_size=2048,
+            concurrency=(1, 4),
+            num_cpus=1,
+        ).to_pandas()
+
+    un = _rank_metrics(score_with(None))
+    tr = _rank_metrics(score_with(trained_ref))
+    return metrics_table(
+        {
+            "n_queries": un["n_queries"],
+            "acc1_untrained": un["acc1"],
+            "acc1_trained": tr["acc1"],
+            "mrr_untrained": un["mrr"],
+            "mrr_trained": tr["mrr"],
+            "train_val_auc": res["metrics"]["val_auc_trained"],
+        }
+    )
+
+
 def trained_retrieval_metrics(sf_dir: str, steps: int = 30, lr: float = 0.01):
     """queries() entry (rows-only): LEARNED cross-encoder scoring end
     to end — fine-tune the full model on the train split, install the

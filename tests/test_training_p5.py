@@ -131,3 +131,20 @@ def test_p5_distributed_matches_driver(ray_session):
     ]
     assert dst["distributed"] == 1.0
     assert dst["loss_final"] == pytest.approx(drv["loss_final"], rel=1e-6)
+
+
+def test_trained_p5_rerank_beats_untrained(ray_session):
+    """The trained reranker in the serving actor pool ranks the true
+    duplicate first for most held-out anchors."""
+    from stack_trace_deduplication_ray.pipelines.training import (
+        trained_rerank_metrics,
+    )
+
+    m = {
+        r["metric"]: r["value"]
+        for r in trained_rerank_metrics(SF).to_pylist()
+    }
+    assert m["n_queries"] >= 20
+    assert m["acc1_trained"] >= 0.8
+    assert m["acc1_trained"] > m["acc1_untrained"] + 0.4
+    assert m["mrr_trained"] > m["mrr_untrained"] + 0.3
